@@ -1,0 +1,71 @@
+"""Stereo phase-correlation meter (COR).
+
+Reference: jmeters/stcorrdsp.cc, wrapper src/meters.cc:511-536.
+Per sample: one-pole lowpass (w1 = 6.28*flp/fs) on L and R, then one-pole
+averages (w2 = 1/(tcf*fs)) of zl*zr, zl^2, zr^2; readout
+zlr / sqrt(zll*zrr + 1e-10).
+
+TPU design: all four recurrences are linear → two chained blocked MXU
+recurrences (ops.lti) with an elementwise product in between.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import design, lti
+from .base import register
+
+
+@dataclasses.dataclass(frozen=True)
+class CorState:
+    zl: jax.Array  # [..., 1]
+    zr: jax.Array  # [..., 1]
+    zp: jax.Array  # [..., 3] (zlr, zll, zrr) — independent averaging poles
+
+
+jax.tree_util.register_dataclass(
+    CorState, data_fields=["zl", "zr", "zp"], meta_fields=[]
+)
+
+
+@register("COR")
+class CorrelationMeter:
+    def __init__(self, fs: float, flp: float = 2000.0, tcf: float = 0.3, dtype=jnp.float32):
+        self.fs = float(fs)
+        w1, w2 = design.stcorr_coeffs(fs, flp, tcf)
+        self.w1 = w1
+        self.lp = lti.one_pole_system(w1, dtype)
+        self.avg = lti.one_pole_system(w2, dtype)
+        self.dtype = dtype
+
+    def init(self, batch_shape=()) -> CorState:
+        z1 = jnp.zeros((*batch_shape, 1), self.dtype)
+        return CorState(zl=z1, zr=z1, zp=jnp.zeros((*batch_shape, 3), self.dtype))
+
+    def update(self, state: CorState, lr: jax.Array) -> CorState:
+        """lr: [..., 2, T]."""
+        l, r = lr[..., 0, :], lr[..., 1, :]
+        # zl += w1*(x - zl) + 1e-20  →  fold the +1e-20 into the input
+        eps = jnp.float32(1e-20 / self.w1)
+        yl, zl = self.lp.apply(l + eps, state.zl)
+        yr, zr = self.lp.apply(r + eps, state.zr)
+        prods = jnp.stack([yl * yr, yl * yl, yr * yr], axis=-1)  # [..., T, 3]
+        # three independent scalar one-poles: fold into batch via vmap-free
+        # trick — apply() broadcasts over leading dims, so move the 3-axis in
+        # front of time
+        prods = jnp.moveaxis(prods, -1, -2)  # [..., 3, T]
+        _, zp = self.avg.apply(prods, state.zp[..., None])
+        zp = zp[..., 0]
+        # non-finite flush + denormal offsets (stcorrdsp.cc:65-76)
+        zl = jnp.where(jnp.isfinite(zl), zl, 0.0)
+        zr = jnp.where(jnp.isfinite(zr), zr, 0.0)
+        zp = jnp.where(jnp.isfinite(zp), zp, 0.0) + 1e-10
+        return CorState(zl=zl, zr=zr, zp=zp)
+
+    def read(self, state: CorState):
+        zlr, zll, zrr = state.zp[..., 0], state.zp[..., 1], state.zp[..., 2]
+        return zlr / jnp.sqrt(zll * zrr + 1e-10), state
