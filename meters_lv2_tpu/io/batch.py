@@ -1,0 +1,63 @@
+"""Batch assembly: pad/segment a ragged set of audio files into the
+fixed-shape [B, C, T] tensors the TPU pipeline consumes.
+
+The reference's throughput axis is "one plugin instance per track"; here a
+thousand files become one batch.  Files are right-padded with silence to a
+common (block-aligned) length; per-file valid lengths ride along so
+readouts can mask padding effects (silence contributes no loudness points
+above the histogram floor and no peaks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class AudioBatch:
+    data: np.ndarray  # [B, C, T] float32
+    lengths: np.ndarray  # [B] int64 valid frames per file
+    rate: int
+
+
+def assemble(
+    files: list[np.ndarray],
+    rate: int,
+    align: int = 2400,
+    max_frames: int | None = None,
+) -> AudioBatch:
+    """Stack [C, T_i] arrays into one padded batch.
+
+    align: pad the common length to a multiple (default one R128 fragment
+    at 48 kHz so sequence-parallel sharding stays fragment-aligned).
+    """
+    assert files
+    C = files[0].shape[0]
+    assert all(f.shape[0] == C for f in files), "channel counts differ"
+    lens = np.array([f.shape[1] for f in files], np.int64)
+    T = int(lens.max() if max_frames is None else max_frames)
+    T = ((T + align - 1) // align) * align
+    out = np.zeros((len(files), C, T), np.float32)
+    for i, f in enumerate(files):
+        n = min(f.shape[1], T)
+        out[i, :, :n] = f[:, :n]
+    return AudioBatch(data=out, lengths=np.minimum(lens, T), rate=rate)
+
+
+def load_files(paths: list[str], expect_rate: int | None = None) -> AudioBatch:
+    """Read WAVs (native decoder) and assemble a batch."""
+    from .wav import read_wav
+
+    arrs = []
+    rate = None
+    for p in paths:
+        x, r = read_wav(p)
+        if rate is None:
+            rate = r
+        assert r == rate, f"sample-rate mismatch: {p} has {r}, want {rate}"
+        arrs.append(x)
+    if expect_rate is not None:
+        assert rate == expect_rate
+    return assemble(arrs, rate)

@@ -1,0 +1,105 @@
+"""Signal-distribution histogram (SigDistHist).
+
+Reference: src/sigdistlv2.c — 361-bin histogram of raw sample values
+(bin = rint(180 + v*150), out-of-range dropped), histogram peak bin/count,
+running sum and Welford variance, integration gated by transport/UI with a
+2^31-point cap (:287-326).
+
+TPU design: per-block binning via the one-hot-matmul histogram (ops.hist);
+the running variance uses the parallel (Chan) merge of per-block moments —
+numerically better than the reference's sequential double-precision Welford
+and well within tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import hist as hist_ops
+from .base import register
+
+DIST_BIN = 361
+DIST_RANGE = 150.0
+DIST_ZERO = 180.0
+_CAP = 2147483647
+
+
+@dataclasses.dataclass(frozen=True)
+class SigDistState:
+    hist: jax.Array  # [..., 361] f32 counts
+    n: jax.Array  # [...] f32 count of all integrated samples
+    mean: jax.Array  # [...] f32 running mean (of all samples)
+    m2: jax.Array  # [...] f32 running M2
+    total: jax.Array  # [...] f32 running sum (reference reports avg as sum)
+    time: jax.Array  # [...] int32 integration time in samples (all samples)
+    integrating: jax.Array  # [...] bool
+
+
+jax.tree_util.register_dataclass(
+    SigDistState,
+    data_fields=["hist", "n", "mean", "m2", "total", "time", "integrating"],
+    meta_fields=[],
+)
+
+
+@register("SigDistHist")
+class SigDistMeter:
+    def __init__(self, fs: float, dtype=jnp.float32):
+        self.fs = float(fs)
+        self.dtype = dtype
+
+    def init(self, batch_shape=()) -> SigDistState:
+        z = jnp.zeros(batch_shape, self.dtype)
+        return SigDistState(
+            hist=jnp.zeros((*batch_shape, DIST_BIN), self.dtype),
+            n=z, mean=z, m2=z, total=z,
+            time=jnp.zeros(batch_shape, jnp.int32),
+            integrating=jnp.ones(batch_shape, bool),
+        )
+
+    def update(self, state: SigDistState, x: jax.Array) -> SigDistState:
+        *batch, T = x.shape
+        run = state.integrating & (state.time < _CAP - T)
+        bins = jnp.round(DIST_ZERO + x * DIST_RANGE).astype(jnp.int32)
+        ok = (bins >= 0) & (bins < DIST_BIN) & run[..., None]
+        hist = state.hist + hist_ops.bincount(jnp.where(ok, bins, -1), DIST_BIN)
+        # variance/average integrate ALL samples while running (the
+        # histogram drops out-of-range bins but avg/var do not,
+        # sigdistlv2.c:303-318 — avg += val before the bin check?  No:
+        # `if (bin < 0) continue;` skips avg too; match that).
+        nb, mb, m2b = hist_ops.welford_block(x, ok)
+        n, mean, m2 = hist_ops.welford_merge(
+            (state.n, state.mean, state.m2), (nb, mb, m2b)
+        )
+        total = state.total + jnp.where(ok, x, 0.0).sum(-1)
+        time = state.time + jnp.where(run, T, 0)
+        return SigDistState(
+            hist=hist, n=n, mean=mean, m2=m2, total=total, time=time,
+            integrating=state.integrating,
+        )
+
+    def read(self, state: SigDistState):
+        """sdh_histogram atom contents (sigdistlv2.c:332-355)."""
+        peak_cnt = jnp.max(state.hist, -1)
+        peak_bin = jnp.argmax(state.hist, -1)
+        return {
+            "hist": state.hist,
+            "hist_max": peak_cnt,
+            "hist_peak_bin": peak_bin,
+            "hist_avg": state.total,  # reference transmits the running sum
+            "hist_var": state.m2,  # reference transmits var_s (sum of sq dev)
+            "integration_time": state.time,
+            "mean": state.mean,
+            "variance": state.m2 / jnp.maximum(state.n - 1.0, 1.0),
+        }, state
+
+    def reset(self, state: SigDistState) -> SigDistState:
+        return self.init(state.n.shape)
+
+    def integrate(self, state: SigDistState, on: bool) -> SigDistState:
+        return dataclasses.replace(
+            state, integrating=jnp.full_like(state.integrating, on)
+        )

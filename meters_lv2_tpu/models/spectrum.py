@@ -1,0 +1,102 @@
+"""30-band 1/3-octave spectrum analyzer (IEC 61260).
+
+Reference: src/spectrumlv2.c (plugin), src/spectr.c (filter design).
+Per band: a 6-stage band-pass biquad cascade; per sample the squared band
+output feeds a one-pole display smoother (omega = 1 - e^(-2π·speed/rate))
+with a running peak-hold; readout is 20·log10(sqrt(2·val)) floored at -100
+(spectrumlv2.c:210-248).
+
+TPU design: the 30 cascades are a *banked* 12-state LTI (ops.lti
+BankedLTISystem) — all bands advance together as batched MXU GEMMs.  The
+smoother is another (scalar) blocked LTI with the band axis as batch.
+Coefficients are designed in float64 on the host (ops.design.bandpass_design
+mirrors spectr.c:89-206 bit-for-bit in double precision).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import design, lti
+from .base import register
+
+N_BANDS = 30
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectrumState:
+    zf: jax.Array  # [..., 30, 12] filter bank state
+    val: jax.Array  # [..., 30] smoothed band power
+    peak: jax.Array  # [..., 30] peak-hold of smoothed power
+
+
+jax.tree_util.register_dataclass(
+    SpectrumState, data_fields=["zf", "val", "peak"], meta_fields=[]
+)
+
+
+@register("spectr30mono")
+@register("spectr30stereo")
+class SpectrumAnalyzer:
+    """update() takes mono blocks [..., T] or stereo [..., 2, T] (averaged,
+    spectrumlv2.c:195-201)."""
+
+    def __init__(self, fs: float, speed: float = 1.0, dtype=jnp.float32):
+        self.fs = float(fs)
+        systems = []
+        for f_m, bw in design.spectrum_band_frequencies(N_BANDS):
+            stages = design.bandpass_design(fs, f_m, bw, order=6)
+            # balanced modal coordinates: float32-safe for the high-Q low
+            # bands (the reference runs these biquads in double,
+            # spectr.c:63-66; direct forms lose ~0.1 dB in f32)
+            systems.append(
+                design.modal_balance(*design.biquad_cascade_state_space(stages))
+            )
+        self.bank = lti.BankedLTISystem(systems, dtype)
+        self.set_speed(speed)
+        self.smoother_cache: dict[float, lti.LTISystem] = {}
+        self.dtype = dtype
+
+    def set_speed(self, speed: float):
+        v = min(max(float(speed), 0.01), 15.0)  # spectrumlv2.c:161-163
+        self.speed = v
+        self.omega = 1.0 - math.exp(-2.0 * math.pi * v / self.fs)
+        self.smoother = lti.one_pole_system(self.omega, jnp.float32)
+
+    def init(self, batch_shape=()) -> SpectrumState:
+        return SpectrumState(
+            zf=self.bank.init(batch_shape),
+            val=jnp.zeros((*batch_shape, N_BANDS), self.dtype),
+            peak=jnp.zeros((*batch_shape, N_BANDS), self.dtype),
+        )
+
+    def update(self, state: SpectrumState, x: jax.Array, stereo: bool = False) -> SpectrumState:
+        if stereo:
+            x = 0.5 * (x[..., 0, :] + x[..., 1, :])
+        v, zf = self.bank.apply(x, state.zf)  # [..., 30, T]
+        sq = jnp.square(v)
+        vs, val = self.smoother.apply(sq, state.val[..., None])
+        val = val[..., 0]
+        # peak-hold tracks the smoothed value maximum (spectrumlv2.c:224)
+        peak = jnp.maximum(state.peak, jnp.max(vs, axis=-1))
+        # non-finite flush + denormal guard (spectrumlv2.c:231-236)
+        zf = jnp.where(jnp.isfinite(zf), zf, 0.0)
+        val = jnp.where(jnp.isfinite(val), val, 0.0) + 1e-20
+        peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
+        return SpectrumState(zf=zf, val=val, peak=peak)
+
+    def read(self, state: SpectrumState):
+        """(bands_db[30], peaks_db[30]) per spectrumlv2.c:240-248."""
+
+        def to_db(p):
+            vs = jnp.sqrt(2.0 * p)
+            return jnp.where(vs > 1e-5, 20.0 * jnp.log10(jnp.maximum(vs, 1e-30)), -100.0)
+
+        return {"bands": to_db(state.val), "peaks": to_db(state.peak)}, state
+
+    def reset_peaks(self, state: SpectrumState) -> SpectrumState:
+        return dataclasses.replace(state, peak=jnp.zeros_like(state.peak))

@@ -1,0 +1,96 @@
+"""Surround meters (surround3..8): per-channel K-meter RMS/peak plus
+user-routable correlation pairs.
+
+Reference: src/surmeter.c — N Kmeterdsp instances and 4 Stcorrdsp
+instances (3 when nchan <= 3), each correlating a configurable channel
+pair (:115-128).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .base import register
+from .cor import CorrelationMeter, CorState
+from .kmeter import KMeter, KMeterState
+
+
+@dataclasses.dataclass(frozen=True)
+class SurroundState:
+    km: KMeterState  # [..., C]
+    cor: CorState  # [..., P]
+
+
+jax.tree_util.register_dataclass(
+    SurroundState, data_fields=["km", "cor"], meta_fields=[]
+)
+
+
+class SurroundMeter:
+    """nchan-channel surround meter.
+
+    `pairs` selects the correlator inputs (default: adjacent channels),
+    mirroring the surc_a/surc_b control ports (src/surmeter.c:119-128).
+    """
+
+    nchan = 8
+
+    def __init__(self, fs: float, pairs=None, dtype=jnp.float32):
+        self.fs = float(fs)
+        self.km = KMeter(fs, dtype)
+        self.cor = CorrelationMeter(fs, dtype=dtype)
+        self.npairs = 4 if self.nchan > 3 else 3
+        if pairs is None:
+            pairs = tuple(
+                (i % self.nchan, (i + 1) % self.nchan) for i in range(self.npairs)
+            )
+        assert len(pairs) == self.npairs
+        self.pairs = tuple((min(int(a), self.nchan - 1), min(int(b), self.nchan - 1))
+                           for a, b in pairs)
+        self.dtype = dtype
+
+    def init(self, batch_shape=()) -> SurroundState:
+        return SurroundState(
+            km=self.km.init((*batch_shape, self.nchan)),
+            cor=self.cor.init((*batch_shape, self.npairs)),
+        )
+
+    def update(self, state: SurroundState, x: jax.Array) -> SurroundState:
+        """x: [..., C, T]."""
+        assert x.shape[-2] == self.nchan
+        km = self.km.update(state.km, x)
+        a_idx = jnp.array([p[0] for p in self.pairs])
+        b_idx = jnp.array([p[1] for p in self.pairs])
+        lr = jnp.stack([x[..., a_idx, :], x[..., b_idx, :]], axis=-2)
+        # [..., P, 2, T]
+        cor = self.cor.update(state.cor, lr)
+        return SurroundState(km=km, cor=cor)
+
+    def read(self, state: SurroundState):
+        km_out, km_st = self.km.read(state.km)
+        c, cor_st = self.cor.read(state.cor)
+        return {
+            "level": km_out["rms"],
+            "peak": km_out["peak"],
+            "correlation": c,
+        }, SurroundState(km=km_st, cor=cor_st)
+
+
+def _make(n):
+    @register(f"surround{n}")
+    class _Sur(SurroundMeter):
+        nchan = n
+
+    _Sur.__name__ = f"Surround{n}Meter"
+    return _Sur
+
+
+Surround3Meter = _make(3)
+Surround4Meter = _make(4)
+Surround5Meter = _make(5)
+Surround6Meter = _make(6)
+Surround7Meter = _make(7)
+Surround8Meter = _make(8)

@@ -1,1 +1,1 @@
-from . import ballistics, design, lti, resample  # noqa: F401
+from . import ballistics, design, fft, hist, lti, resample  # noqa: F401

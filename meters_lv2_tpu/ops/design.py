@@ -195,6 +195,21 @@ def zita_coeff_table(fr: float, hl: int, np_phases: int) -> np.ndarray:
     return np.stack(rows)
 
 
+def upsample_poly_kernel(factor: int, hl: int) -> np.ndarray:
+    """General integer-factor polyphase interpolation kernel [factor, 2*hl].
+
+    Same derivation as upsample4_kernel with np = factor, frel = 1.0 —
+    used for the goniometer's 2x/4x/8x display oversampling
+    (gui/goniometer.c:178, hlen = 12).
+    """
+    taps = np.zeros((factor, 2 * hl), dtype=np.float64)
+    i = np.arange(2 * hl)
+    for ph in range(factor):
+        tw = (hl - 1 - i) + ph / factor
+        taps[ph] = _sinc(tw) * _wind(tw / hl)
+    return taps
+
+
 def upsample4_kernel(hl: int = 24) -> np.ndarray:
     """4x polyphase interpolation kernel, shape [4, 2*hl].
 
@@ -325,6 +340,66 @@ def bandpass_design(rate: float, freq: float, band: float, order: int = 6) -> li
     stages[0][4] *= scale
 
     return [BiquadCoeffs(b0=s[2], b1=s[3], b2=s[4], a1=s[0], a2=s[1]) for s in stages]
+
+
+def modal_balance(A, B, C, D):
+    """Similarity-transform (A,B,C,D) to a balanced real modal form.
+
+    Eigen-decomposes A into real 2x2 rotation blocks (complex pairs) /
+    1x1 blocks and diagonally balances each mode so per-mode input and
+    output gains match.  Input-output behaviour is unchanged in exact
+    arithmetic, but float32 execution conditions dramatically better for
+    high-Q systems (the 25 Hz IEC 61260 bands have poles at radius
+    1 - 1e-5 where direct-form states cancel catastrophically).
+    """
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    C = np.asarray(C, np.float64)
+    D = np.asarray(D, np.float64)
+    w, V = np.linalg.eig(A)
+    d = A.shape[0]
+    used = np.zeros(d, bool)
+    cols = []  # real basis columns
+    for i in range(d):
+        if used[i]:
+            continue
+        if abs(w[i].imag) < 1e-12:
+            cols.append(V[:, i].real)
+            used[i] = True
+        else:
+            # find the conjugate partner
+            j = None
+            for k in range(i + 1, d):
+                if not used[k] and abs(w[k] - np.conj(w[i])) < 1e-8 * max(1, abs(w[i])):
+                    j = k
+                    break
+            cols.append(V[:, i].real)
+            cols.append(V[:, i].imag)
+            used[i] = True
+            if j is not None:
+                used[j] = True
+    T = np.stack(cols, axis=1)
+    Ti = np.linalg.inv(T)
+    Am = Ti @ A @ T
+    Bm = Ti @ B
+    Cm = C @ T
+    # per-state diagonal balancing: scale so |B| and |C| rows match
+    bn = np.maximum(np.abs(Bm).sum(1), 1e-30)
+    cn = np.maximum(np.abs(Cm).sum(0), 1e-30)
+    s = np.sqrt(cn / bn)  # x' = s*x equalises drive (s*B) vs read (C/s)
+    # couple the 2x2 blocks: use a shared scale per conjugate pair so the
+    # rotation structure is preserved
+    i = 0
+    while i < d:
+        if i + 1 < d and abs(Am[i, i + 1]) > 1e-12 and abs(Am[i + 1, i]) > 1e-12:
+            sh = math.sqrt(s[i] * s[i + 1])
+            s[i] = s[i + 1] = sh
+            i += 2
+        else:
+            i += 1
+    S = np.diag(1.0 / s)
+    Si = np.diag(s)
+    return Si @ Am @ S, Si @ Bm, Cm @ S, D
 
 
 def biquad_cascade_state_space(

@@ -1,0 +1,160 @@
+"""Streaming STFT analysis engine (batched TPU port of the capability of
+gui/fft.c).
+
+The reference keeps a ring buffer and runs one FFTW r2hc transform whenever
+`hop = ceil(rate/fps)` new samples have arrived (fft.c:209-237, 284-340).
+Here a whole block of frames is analyzed at once: frame extraction is a
+batched gather, the transform is `jnp.fft.rfft` over [frames, window] (XLA
+maps it onto the MXU/VPU), and power/phase follow the reference's
+ft_analyze (fft.c:163-180): power[0] = Re0^2, bins 1..W/2-2 get Re^2+Im^2
+and atan2(Im, Re); bin W/2-1 stays 0.
+
+Window functions and their 2/sum normalisation follow fft.c:84-161.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WINDOW_TYPES = (
+    "hann",
+    "hamming",
+    "nuttall",
+    "blackman_nuttall",
+    "blackman_harris",
+    "flat_top",
+)
+
+
+def make_window(kind: str, n: int) -> np.ndarray:
+    """Analysis window, normalised so sum(w) = 2 (fft.c:154-158)."""
+    i = np.arange(n, dtype=np.float64)
+    c = 2.0 * math.pi * i / (n - 1.0)
+    if kind == "hann":
+        w = 0.5 - 0.5 * np.cos(c)
+    elif kind == "hamming":
+        w = 0.54 - 0.46 * np.cos(c)
+    elif kind == "nuttall":
+        a = (0.355768, 0.487396, 0.144232, 0.012604)
+        w = a[0] - a[1] * np.cos(c) + a[2] * np.cos(2 * c) - a[3] * np.cos(3 * c)
+    elif kind == "blackman_nuttall":
+        a = (0.3635819, 0.4891775, 0.1365995, 0.0106411)
+        w = a[0] - a[1] * np.cos(c) + a[2] * np.cos(2 * c) - a[3] * np.cos(3 * c)
+    elif kind == "blackman_harris":
+        a = (0.35875, 0.48829, 0.14128, 0.01168)
+        w = a[0] - a[1] * np.cos(c) + a[2] * np.cos(2 * c) - a[3] * np.cos(3 * c)
+    elif kind == "flat_top":
+        w = (
+            1.0
+            - 1.93 * np.cos(c)
+            + 1.29 * np.cos(2 * c)
+            - 0.388 * np.cos(3 * c)
+            + 0.028 * np.cos(4 * c)
+        )
+    else:
+        raise KeyError(kind)
+    return (w * (2.0 / w.sum())).astype(np.float64)
+
+
+@dataclasses.dataclass(frozen=True)
+class STFTState:
+    """Carried ring of the last window_size-hop samples + analysis history."""
+
+    tail: jax.Array  # [..., W] last W input samples (oldest first)
+    phase_h: jax.Array  # [..., W//2] phase of previous analysis
+    smps: jax.Array  # [...] int32 samples since last analysis
+
+
+jax.tree_util.register_dataclass(
+    STFTState, data_fields=["tail", "phase_h", "smps"], meta_fields=[]
+)
+
+
+class STFT:
+    """Fixed-hop streaming STFT.
+
+    The reference hop is quantised to its process() call boundaries; here
+    frames fall at exact multiples of `hop` — same analysis rate, regular
+    placement.  update() blocks must be multiples of hop (pad/segment at
+    the pipeline layer).
+    """
+
+    def __init__(
+        self,
+        rate: float,
+        window_size: int = 8192,
+        fps: float = 25.0,
+        window: str = "hann",
+        dtype=jnp.float32,
+    ):
+        self.rate = float(rate)
+        self.window_size = int(window_size)
+        self.data_size = self.window_size // 2
+        self.hop = int(math.ceil(rate / fps)) if fps > 0 else self.window_size
+        self.win = jnp.asarray(make_window(window, self.window_size), dtype)
+        self.freq_per_bin = self.rate / self.data_size / 2.0
+        self.phasediff_step = math.pi / self.data_size
+        self.dtype = dtype
+
+    def init(self, batch_shape=()) -> STFTState:
+        return STFTState(
+            tail=jnp.zeros((*batch_shape, self.window_size), self.dtype),
+            phase_h=jnp.zeros((*batch_shape, self.data_size), self.dtype),
+            smps=jnp.zeros(batch_shape, jnp.int32),
+        )
+
+    def frames_in(self, T: int) -> int:
+        assert T % self.hop == 0, (T, self.hop)
+        return T // self.hop
+
+    def update(self, state: STFTState, x: jax.Array):
+        """x: [..., T], T % hop == 0.
+
+        Returns (power [..., F, W/2], phase [..., F, W/2], new_state) where
+        F = T // hop; frame f covers the window ending at sample (f+1)*hop.
+        """
+        *batch, T = x.shape
+        F = self.frames_in(T)
+        W = self.window_size
+        ext = jnp.concatenate([state.tail, x], axis=-1)  # [..., W + T]
+        # frame f = ext[hop*(f+1) : hop*(f+1)+W]
+        starts = (jnp.arange(F) + 1) * self.hop
+        idx = starts[:, None] + jnp.arange(W)[None, :]  # [F, W]
+        frames = ext[..., idx]  # [..., F, W]
+        frames = frames * self.win
+        X = jnp.fft.rfft(frames, axis=-1)  # [..., F, W/2+1]
+        re = jnp.real(X).astype(self.dtype)
+        im = jnp.imag(X).astype(self.dtype)
+        power = re * re + im * im
+        phase = jnp.arctan2(im, re)
+        # ft_analyze boundary handling (fft.c:166-178): bin 0 phase = 0,
+        # power[0] = Re0^2; top bin of data_size left zero
+        power = power[..., : self.data_size]
+        phase = phase[..., : self.data_size]
+        power = power.at[..., self.data_size - 1].set(0.0)
+        phase = phase.at[..., 0].set(0.0)
+        phase = phase.at[..., self.data_size - 1].set(0.0)
+        new_state = STFTState(
+            tail=ext[..., -W:],
+            phase_h=phase[..., -1, :],
+            smps=state.smps,
+        )
+        return power, phase, new_state
+
+    def freq_at_bin(
+        self, phase: jax.Array, phase_h: jax.Array, step: int
+    ) -> jax.Array:
+        """Phase-derivative instantaneous-frequency estimate
+        (fftx_freq_at_bin, fft.c:448-461), vectorized over bins [..., W/2]."""
+        b = jnp.arange(phase.shape[-1], dtype=self.dtype)
+        dp = phase - phase_h - b * (self.phasediff_step * step)
+        over = (dp / math.pi).astype(jnp.int32)
+        over = over + jnp.where(over >= 0, over & 1, -(over & 1))
+        dp = dp - math.pi * over.astype(self.dtype)
+        dp = dp * (self.data_size / step) / math.pi
+        return self.freq_per_bin * (b + dp)

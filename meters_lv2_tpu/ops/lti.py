@@ -114,11 +114,16 @@ def build_lti_block_op(
     for j in range(T):
         g[j * m : (j + 1) * m] = (apow[T - 1 - j] @ B).T
 
+    # NB: leaves are host numpy arrays, NOT jnp arrays — ops are built
+    # lazily (possibly inside a jit trace) and cached on the system object;
+    # numpy constants embed cleanly into any later trace, whereas device
+    # arrays created mid-trace would leak tracers.
+    npdt = np.dtype(dtype)
     return LTIBlockOp(
-        kmat=jnp.asarray(kmat.T, dtype),  # stored transposed: u @ kmat.T
-        sy=jnp.asarray(sy.T, dtype),
-        at=jnp.asarray(apow[T].T, dtype),
-        g=jnp.asarray(g, dtype),
+        kmat=np.asarray(kmat.T, npdt),  # stored transposed: u @ kmat.T
+        sy=np.asarray(sy.T, npdt),
+        at=np.asarray(apow[T].T, npdt),
+        g=np.asarray(g, npdt),
         block=T,
         d=d,
         m=m,
@@ -126,11 +131,34 @@ def build_lti_block_op(
     )
 
 
+def _mm_blocks(a: jax.Array, w: jax.Array) -> jax.Array:
+    """Per-block inputs a [..., (NB,) nblk, i] @ w [(NB,) i, j]."""
+    if w.ndim == 2:
+        return jnp.matmul(a, w, precision=_HIGH)
+    return jnp.einsum("...bni,bij->...bnj", a, w, precision=_HIGH)
+
+
+def _mm_state(a: jax.Array, w: jax.Array) -> jax.Array:
+    """State a [..., (NB,) i] @ w [(NB,) i, j]."""
+    if w.ndim == 2:
+        return jnp.matmul(a, w, precision=_HIGH)
+    return jnp.einsum("...bi,bij->...bj", a, w, precision=_HIGH)
+
+
 def lti_scan(op: LTIBlockOp, u: jax.Array, s0: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Run the blocked recurrence.
 
+    The input→output convolution within each block is state-independent, so
+    it runs for ALL blocks as one large batched GEMM (great MXU utilization);
+    only the tiny d-dimensional state recurrence is sequential:
+
+        conv_y[k] = u[k] @ K            (parallel over blocks)
+        gin[k]    = u[k] @ G            (parallel over blocks)
+        s[k+1]    = s[k] @ A^T + gin[k] (scan, d-dim)
+        y[k]      = conv_y[k] + s[k] @ Sy
+
     Args:
-      op: precomputed block operator.
+      op: precomputed block operator (leaves may carry a leading bank dim).
       u:  inputs, shape [..., T_total, m] (T_total divisible by op.block)
           or [..., T_total] when m == 1.
       s0: initial state, shape [..., d].
@@ -149,23 +177,17 @@ def lti_scan(op: LTIBlockOp, u: jax.Array, s0: jax.Array) -> tuple[jax.Array, ja
     nblk = T_total // op.block
 
     uf = u.reshape(*batch, nblk, op.block * op.m)
-    # scan over blocks; batch dims ride along
-    uf = jnp.moveaxis(uf, -2, 0)  # [nblk, ..., T*m]
+    conv_y = _mm_blocks(uf, op.kmat)  # [..., nblk, T*p]
+    gin = _mm_blocks(uf, op.g)  # [..., nblk, d]
+    gin_t = jnp.moveaxis(gin, -2, 0)  # [nblk, ..., d]
 
-    def step(s, ub):
-        # ub: [..., T*m], s: [..., d]
-        y = (
-            jnp.matmul(ub, op.kmat, precision=_HIGH)
-            + jnp.matmul(s, op.sy, precision=_HIGH)
-        )  # [..., T*p]
-        s_next = jnp.matmul(s, op.at, precision=_HIGH) + jnp.matmul(
-            ub, op.g, precision=_HIGH
-        )
-        return s_next, y
+    def step(s, gk):
+        return _mm_state(s, op.at) + gk, s
 
-    s_fin, ys = jax.lax.scan(step, s0, uf)
-    ys = jnp.moveaxis(ys, 0, -2)  # [..., nblk, T*p]
-    y = ys.reshape(*batch, T_total, op.p)
+    s_fin, s_all = jax.lax.scan(step, s0, gin_t)
+    s_all = jnp.moveaxis(s_all, 0, -2)  # [..., nblk, d] (block-entry states)
+    y = conv_y + _mm_blocks(s_all, op.sy)
+    y = y.reshape(*batch, T_total, op.p)
     if squeeze:
         y = y[..., 0]
     return y, s_fin
@@ -221,6 +243,64 @@ class LTISystem:
         if squeeze and self.p == 1:
             y = y[..., 0]
         return y, s
+
+
+class BankedLTISystem:
+    """A bank of NB independent same-dimension LTI systems (e.g. the 30
+    IEC 61260 band filters) evaluated together: block operators are stacked
+    along a leading bank axis and the per-block GEMMs batch over it.
+
+    apply() semantics match LTISystem.apply with an extra bank axis: input
+    u [..., T] is broadcast to every bank; output y is [..., NB, T];
+    state s is [..., NB, d].
+    """
+
+    def __init__(self, systems: list[tuple], dtype=jnp.float32):
+        self.mats = [
+            tuple(np.asarray(m, np.float64) for m in s) for s in systems
+        ]
+        d0 = self.mats[0][0].shape[0]
+        assert all(m[0].shape[0] == d0 for m in self.mats)
+        self.nb = len(systems)
+        self.d = d0
+        self.m = self.mats[0][1].shape[1]
+        self.p = self.mats[0][2].shape[0]
+        self.dtype = dtype
+        self._ops: dict[int, LTIBlockOp] = {}
+
+    def op(self, block: int) -> LTIBlockOp:
+        if block not in self._ops:
+            ops = [
+                build_lti_block_op(*m, block, self.dtype) for m in self.mats
+            ]
+            self._ops[block] = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *ops
+            )
+        return self._ops[block]
+
+    def init(self, batch_shape=()) -> jax.Array:
+        return jnp.zeros((*batch_shape, self.nb, self.d), self.dtype)
+
+    def apply(
+        self, u: jax.Array, s0: jax.Array, prefer_block: int = 128
+    ) -> tuple[jax.Array, jax.Array]:
+        """u: [..., T] (shared across banks); s0: [..., NB, d].
+        Returns (y [..., NB, T], s [..., NB, d])."""
+        ub = jnp.broadcast_to(
+            u[..., None, :], (*u.shape[:-1], self.nb, u.shape[-1])
+        )[..., None]  # [..., NB, T, 1]
+        T = u.shape[-1]
+        main = (T // prefer_block) * prefer_block
+        ys = []
+        s = s0
+        if main:
+            y, s = lti_scan(self.op(prefer_block), ub[..., :main, :], s)
+            ys.append(y)
+        if T - main:
+            y, s = lti_scan(self.op(T - main), ub[..., main:, :], s)
+            ys.append(y)
+        y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=-2)
+        return y[..., 0], s
 
 
 def one_pole_system(w: float, dtype=jnp.float32) -> LTISystem:

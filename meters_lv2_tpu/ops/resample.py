@@ -18,10 +18,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .design import upsample4_kernel
+from .design import upsample4_kernel, upsample_poly_kernel
 
 _HL = 24
 _HIST = 2 * _HL - 1  # 47 samples of history
+
+
+def upsample_taps(factor: int, hl: int, dtype=jnp.float32) -> jax.Array:
+    """[factor, 2*hl] polyphase filters for integer-factor oversampling."""
+    return jnp.asarray(upsample_poly_kernel(factor, hl), dtype)
+
+
+def upsample_init(batch_shape=(), hl: int = _HL, dtype=jnp.float32) -> jax.Array:
+    return jnp.zeros((*batch_shape, 2 * hl - 1), dtype)
+
+
+def upsample(
+    x: jax.Array, hist: jax.Array, taps: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Integer-factor polyphase upsampling (generalises upsample4).
+
+    x [..., T], hist [..., 2*hl-1], taps [factor, 2*hl] →
+    (up [..., factor*T], new_hist).  Used by the goniometer's optional
+    2x/4x/8x oversampling (gui/goniometer.c:155-189, hlen=12).
+    """
+    factor, k2 = taps.shape
+    nh = k2 - 1
+    *batch, T = x.shape
+    xp = jnp.concatenate([hist, x], axis=-1)
+    n = int(np.prod(batch)) if batch else 1
+    out = jax.lax.conv_general_dilated(
+        xp.reshape(n, 1, T + nh),
+        taps.reshape(factor, 1, k2),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    up = jnp.moveaxis(out, 1, 2).reshape(*batch, factor * T)
+    return up, xp[..., -nh:]
 
 
 def upsample4_taps(dtype=jnp.float32) -> jax.Array:

@@ -1,0 +1,176 @@
+"""Whole-file EBU R128 + true-peak analysis, sharded over a ('dp','sp') mesh.
+
+The production serving shape: a batch of files sharded over data-parallel
+devices AND each file's timeline sharded over sequence-parallel devices.
+Per SPMD shard (shard_map):
+
+  * K-weighting: sequence-parallel LTI (parallel.timepar) — one all_gather
+    of 4-float states over 'sp'.
+  * true peak: the 4x polyphase conv needs a 47-sample halo from the
+    previous time shard — one ppermute; peaks combine with pmax.
+  * fragment powers: local reshape-sums; the momentary/short-term windows
+    need the previous shard's last 59 fragment powers — one ppermute.
+  * histograms / counts: additive — psum over 'sp'.
+  * max M/S: pmax over 'sp'.
+
+All collectives move O(d + 59 + 47) floats per shard — the audio itself
+never crosses devices.  Requires the local time slice to be a multiple of
+the fragment size (pad files at the pipeline layer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.ebur128 import EbuR128Meter, HIST_BINS, _MWIN, _SWIN
+from ..ops import resample
+from .timepar import lti_apply_sp
+
+
+def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
+    """Per-shard body; x: [b_local, C, T_local]."""
+    B, C, Tl = x.shape
+    fragm = meter.fragm
+    assert Tl % fragm == 0, (Tl, fragm)
+    nfrag = Tl // fragm
+    k = jax.lax.axis_index(sp_axis)
+    nsp = jax.lax.axis_size(sp_axis)
+
+    # ---- K-weighting with sequence-parallel state handoff
+    s0 = jnp.zeros((B, C, 4), x.dtype)
+    y, _ = lti_apply_sp(meter.sys, x, s0, sp_axis)
+    p = jnp.einsum("bct,c->bt", jnp.square(y), meter.gains)
+
+    # ---- true peak: halo the previous shard's last 47 samples
+    tail = x[..., -47:]
+    halo = jax.lax.ppermute(
+        tail, sp_axis, [(i, i + 1) for i in range(nsp - 1)]
+    )
+    halo = jnp.where(k == 0, jnp.zeros_like(halo), halo)
+    up, _ = resample.upsample4(x, halo, meter.tp_taps)
+    dbtp = jax.lax.pmax(jnp.max(jnp.abs(up), axis=(-2, -1)), sp_axis)
+
+    # ---- fragment powers + windowed loudness with 59-fragment halo
+    fp = p.reshape(B, nfrag, fragm).sum(-1) / fragm + 1e-30 / fragm
+    ftail = fp[..., -59:] if nfrag >= 59 else jnp.pad(fp, ((0, 0), (59 - nfrag, 0)))
+    fhalo = jax.lax.ppermute(
+        ftail, sp_axis, [(i, i + 1) for i in range(nsp - 1)]
+    )
+    fhalo = jnp.where(k == 0, jnp.zeros_like(fhalo), fhalo)
+    # NOTE: with nfrag < 59 a shard's halo misses older fragments; require
+    # nfrag >= 59 per shard for exact S-window parity on interior shards.
+    full = jnp.concatenate([fhalo, fp], axis=-1)  # [B, 59 + nfrag]
+
+    def wsum(w):
+        seq = full[..., (_SWIN - w):]
+        out = jax.lax.conv_general_dilated(
+            seq[:, None, :], jnp.ones((1, 1, w), seq.dtype),
+            (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out[:, 0, :]
+
+    def lufs(s, w):
+        v = -0.6976 + 10.0 * jnp.log10(s / w)
+        return jnp.where(jnp.isfinite(v) & (v >= -200.0), v, -200.0)
+
+    lm = lufs(wsum(_MWIN), _MWIN)  # [B, nfrag]
+    ls = lufs(wsum(_SWIN), _SWIN)
+
+    max_m = jax.lax.pmax(jnp.max(lm, -1), sp_axis)
+    max_s = jax.lax.pmax(jnp.max(ls, -1), sp_axis)
+
+    # final M/S (the last shard's last fragment)
+    loud_m = jax.lax.all_gather(lm[..., -1], sp_axis)[nsp - 1]
+    loud_s = jax.lax.all_gather(ls[..., -1], sp_axis)[nsp - 1]
+
+    # ---- histogram points at absolute fragment parity
+    base = k * nfrag  # absolute index offset of local fragment 0
+    slot = jnp.arange(nfrag, dtype=jnp.int32)
+    ai = base + slot
+    m_pt = (ai % 2) == 1
+    s_pt = (ai % 10) == 9
+
+    def scatter(vals, mask):
+        kk = jnp.floor(10.0 * vals + 700.5).astype(jnp.int32)
+        ok = mask & (kk >= 0)
+        kk = jnp.clip(kk, 0, HIST_BINS - 1)
+        bidx = jnp.arange(B)[:, None]
+        hist = jnp.zeros((B, HIST_BINS), jnp.int32).at[bidx, kk].add(
+            ok.astype(jnp.int32)
+        )
+        return hist, ok.sum(-1, dtype=jnp.int32)
+
+    hist_m, cm = scatter(lm, m_pt)
+    hist_s, cs = scatter(ls, s_pt)
+    hist_m = jax.lax.psum(hist_m, sp_axis)
+    hist_s = jax.lax.psum(hist_s, sp_axis)
+    count_m = jax.lax.psum(cm, sp_axis)
+    count_s = jax.lax.psum(cs, sp_axis)
+
+    return {
+        "loudness_M": loud_m,
+        "loudness_S": loud_s,
+        "max_M": max_m,
+        "max_S": max_s,
+        "hist_m": hist_m,
+        "hist_s": hist_s,
+        "count_m": count_m,
+        "count_s": count_s,
+        "dbtp": dbtp,
+    }
+
+
+def analyze_r128(meter: EbuR128Meter, x, mesh: Mesh):
+    """Sharded whole-file analysis.
+
+    Args:
+      meter: an EbuR128Meter (supplies constants).
+      x: [B, C, T] with B divisible by mesh 'dp' size and T by
+         ('sp' size * fragment).
+    Returns the same readout dict as EbuR128Meter.read (integrated / LRA
+    computed from the psum'd histograms).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    assert x.shape[1] == meter.nchan, (x.shape, meter.nchan)
+    body = partial(_analyze_shard, meter, sp_axis="sp")
+    out = jax.jit(
+        shard_map(
+            lambda xs: body(xs),
+            mesh=mesh,
+            in_specs=P("dp", None, "sp"),
+            out_specs={
+                "loudness_M": P("dp"),
+                "loudness_S": P("dp"),
+                "max_M": P("dp"),
+                "max_S": P("dp"),
+                "hist_m": P("dp", None),
+                "hist_s": P("dp", None),
+                "count_m": P("dp"),
+                "count_s": P("dp"),
+                "dbtp": P("dp"),
+            },
+            check_rep=False,
+        )
+    )(x)
+
+    # gated statistics from the combined histograms (host-visible jnp)
+    class _S:  # adapter for the meter's calc_* methods
+        hist_m = out["hist_m"]
+        hist_s = out["hist_s"]
+        count_m = out["count_m"]
+        count_s = out["count_s"]
+
+    li, ith = meter.calc_integ(_S)
+    v0, v1, rth = meter.calc_range(_S)
+    out.update(
+        integrated=li, integ_thr=ith, range_min=v0, range_max=v1,
+        range_thr=rth, lra=v1 - v0,
+    )
+    return out

@@ -1,0 +1,70 @@
+"""Sequence parallelism for linear recurrences.
+
+Splitting an IIR across devices looks impossible (per-sample dependence),
+but the blocked state-space form (ops.lti) makes the cross-device
+dependency a d-dimensional affine map: device k's incoming state is
+
+    s_in[k] = (A^L)^k s0 + Σ_{i<k} (A^L)^{k-1-i} b[i]
+
+where b[i] is device i's zero-state response (computed locally in one
+pass).  An all_gather of the tiny b vectors plus a host-side-free local
+compose gives every device its true incoming state; a second local pass
+produces exact outputs.  Total comms: one all_gather of [n_sp, ..., d]
+floats over ICI — microscopic next to the audio itself.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lti import LTISystem
+
+
+def lti_apply_sp(
+    sys: LTISystem,
+    u: jax.Array,
+    s0: jax.Array,
+    axis_name: str,
+    prefer_block: int = 128,
+):
+    """Run sys over a time-sharded input inside shard_map.
+
+    Args:
+      sys: the LTI system.
+      u:  local time segment [..., L(, m)] (device k holds samples
+          [k*L, (k+1)*L)).
+      s0: stream-start state [..., d] (replicated; only device 0 uses it).
+      axis_name: the sequence-parallel mesh axis.
+
+    Returns (y_local, s_final) — y_local are this device's exact outputs;
+    s_final (the stream-end state) is returned on every device.
+    """
+    k = jax.lax.axis_index(axis_name)
+    nsp = jax.lax.axis_size(axis_name)
+
+    # pass 1: zero-state response of the local segment
+    zero = jnp.zeros_like(s0)
+    _, b_local = sys.apply(u, zero, prefer_block)
+
+    # gather [nsp, ..., d] zero-state responses
+    b_all = jax.lax.all_gather(b_local, axis_name)  # [nsp, ..., d]
+
+    # A^L for the local segment length
+    T = u.shape[-2] if u.ndim > s0.ndim else u.shape[-1]
+    aL = np.linalg.matrix_power(sys.A, T).T.astype(np.float32)  # right-mult form
+
+    # s_in[k] = s0 @ aL^k + Σ_{i<k} b[i] @ aL^{k-1-i}, built by iterating
+    # s := s @ aL + b[i] for i < k (nsp is tiny, the loop is d x d work)
+    def step(i, s):
+        s_next = jnp.matmul(s, jnp.asarray(aL)) + b_all[i]
+        return jnp.where(i < k, s_next, s)
+
+    s_in = jax.lax.fori_loop(0, nsp, step, s0)
+
+    # pass 2: exact local outputs from the true incoming state
+    y, s_out = sys.apply(u, s_in, prefer_block)
+    # stream-end state = device nsp-1's s_out; broadcast it
+    s_fin = jax.lax.all_gather(s_out, axis_name)[nsp - 1]
+    return y, s_fin

@@ -1,0 +1,161 @@
+"""ctypes bindings to the native runtime (native/libmeters_native.so).
+
+Builds the library on first use if the toolchain is available; all
+functionality degrades gracefully to pure-Python fallbacks (io.wav).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmeters_native.so")
+
+METER_KINDS = {
+    "vu": 0,
+    "iec1": 1,
+    "iec2": 2,
+    "kmeter": 3,
+    "truepeak": 4,
+    "stcorr": 5,
+    "r128": 6,
+}
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.mt_wav_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mt_wav_read.restype = ctypes.c_int
+    lib.mt_wav_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.mt_wav_write.restype = ctypes.c_int
+    lib.mt_free.argtypes = [ctypes.c_void_p]
+    lib.mt_engine_create.argtypes = [ctypes.c_int, ctypes.c_float, ctypes.c_int]
+    lib.mt_engine_create.restype = ctypes.c_void_p
+    lib.mt_engine_destroy.argtypes = [ctypes.c_void_p]
+    lib.mt_engine_process.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.mt_engine_process.restype = ctypes.c_int
+    lib.mt_engine_read.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
+    lib.mt_engine_read.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def wav_read(path: str):
+    """Read a WAV file → (data [C, T] float32, rate)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = ctypes.POINTER(ctypes.c_float)()
+    nchan = ctypes.c_int32()
+    nframes = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    rc = lib.mt_wav_read(
+        path.encode(), ctypes.byref(data), ctypes.byref(nchan),
+        ctypes.byref(nframes), ctypes.byref(rate),
+    )
+    if rc != 0:
+        raise IOError(f"mt_wav_read({path}) failed: {rc}")
+    n = nchan.value * nframes.value
+    arr = np.ctypeslib.as_array(data, shape=(n,)).reshape(
+        nchan.value, nframes.value
+    ).copy()
+    lib.mt_free(data)
+    return arr, rate.value
+
+
+def wav_write(path: str, data: np.ndarray, rate: int, format: int = 32):
+    """Write planar float32 [C, T] as WAV (format 16 = PCM16, 32 = f32)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.float32)
+    c, t = data.shape
+    rc = lib.mt_wav_write(
+        path.encode(),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        c, t, rate, format,
+    )
+    if rc != 0:
+        raise IOError(f"mt_wav_write({path}) failed: {rc}")
+
+
+class NativeEngine:
+    """Streaming scalar CPU meter (host-side reference / fallback)."""
+
+    def __init__(self, kind: str, fs: float, nchan: int):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.mt_engine_create(METER_KINDS[kind], fs, nchan)
+        if not self._h:
+            raise ValueError(f"bad meter kind {kind}")
+        self.kind = kind
+        self.nchan = nchan
+
+    def process(self, x: np.ndarray):
+        """x: [C, T] float32 planar."""
+        x = np.ascontiguousarray(x, np.float32)
+        rc = self._lib.mt_engine_process(
+            self._h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.shape[-1],
+        )
+        if rc != 0:
+            raise RuntimeError(f"process failed: {rc}")
+
+    def read(self) -> np.ndarray:
+        out = np.zeros(16, np.float64)
+        n = self._lib.mt_engine_read(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), 16
+        )
+        if n < 0:
+            raise RuntimeError(f"read failed: {n}")
+        return out[:n]
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mt_engine_destroy(self._h)
+            self._h = None

@@ -1,0 +1,70 @@
+/* meters.lv2-tpu native runtime — C API.
+ *
+ * Native components mirroring the reference's C/C++ runtime role:
+ *  - WAV decode/encode (PCM16/24/32, float32) to planar float32
+ *  - a streaming scalar CPU metering engine with the same constants as
+ *    the TPU path (independent implementation, used as an on-host
+ *    reference/fallback and for test fixtures without the upstream repo)
+ *
+ * All functions return 0 on success, negative on error unless noted.
+ */
+
+#ifndef METERS_NATIVE_H
+#define METERS_NATIVE_H
+
+#include <stdint.h>
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* ---- WAV IO ---- */
+
+/* Reads a RIFF/WAVE file into planar float32 (channel-major).
+ * On success *data is malloc'd (nchan*nframes floats) — free with
+ * mt_free. Supports PCM 16/24/32-bit and IEEE float32/float64. */
+int mt_wav_read(const char* path, float** data, int32_t* nchan,
+                int64_t* nframes, int32_t* rate);
+
+/* Writes planar float32 as WAV. format: 16 = PCM16, 32 = float32. */
+int mt_wav_write(const char* path, const float* data, int32_t nchan,
+                 int64_t nframes, int32_t rate, int32_t format);
+
+void mt_free(void* p);
+
+/* ---- streaming metering engine ---- */
+
+typedef enum {
+  MT_VU = 0,
+  MT_IEC1 = 1,        /* DIN / Nordic PPM */
+  MT_IEC2 = 2,        /* BBC / EBU PPM */
+  MT_KMETER = 3,      /* RMS + digital peak */
+  MT_TRUEPEAK = 4,    /* 4x oversampled */
+  MT_STCORR = 5,      /* stereo phase correlation */
+  MT_R128 = 6,        /* EBU R128 loudness */
+} mt_meter_kind;
+
+typedef struct mt_engine mt_engine;
+
+/* nchan: independent channels (STCORR/R128 interpret them jointly). */
+mt_engine* mt_engine_create(int kind, float fs, int nchan);
+void mt_engine_destroy(mt_engine* e);
+
+/* Feed one block of planar float32 (ch-major: data[c*nframes + t]). */
+int mt_engine_process(mt_engine* e, const float* data, int64_t nframes);
+
+/* Read current values. Layout depends on kind:
+ *  VU/IEC1/IEC2: nchan values (read-and-reset max, pre-gain applied)
+ *  KMETER:       2*nchan (rms, peak per channel)
+ *  TRUEPEAK:     2*nchan (ballistic level, raw oversampled peak)
+ *  STCORR:       1 (correlation)
+ *  R128:         8 (M, S, maxM, maxS, I, LRAmin, LRAmax, dBTP)
+ * Returns the number of values written, or negative on error. */
+int mt_engine_read(mt_engine* e, double* out, int maxn);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* METERS_NATIVE_H */

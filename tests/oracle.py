@@ -209,25 +209,20 @@ class StcorrOracle:
 
 
 def kweight_filter(fs, x):
-    """Apply the combined K-weighting filter per channel; x [C, T] -> y [C, T]."""
+    """Apply the combined K-weighting filter per channel; x [C, T] -> y [C, T].
+
+    float64 cascade via scipy.lfilter: stage 1 = biquad (num [a0,a1,a2],
+    den [1,b1,b2]); stage 2 = the z3/z4 integrator correction, which in
+    transfer-function form is (1-z^-1)^2 / ((1-z^-1)^2 + c3 z^-1 (1-z^-1)
+    + c4 z^-2) = [1,-2,1] / [1, c3-2, 1-c3+c4].
+    """
+    from scipy.signal import lfilter
+
     from meters_lv2_tpu.ops.design import k_weighting
 
     k = k_weighting(fs)
-    a0, a1, a2 = f32(k.a0), f32(k.a1), f32(k.a2)
-    b1, b2 = f32(k.b1), f32(k.b2)
-    c3, c4 = f32(k.c3), f32(k.c4)
-    y = np.zeros_like(x, dtype=f32)
-    for c in range(x.shape[0]):
-        z1 = z2 = z3 = z4 = f32(0)
-        for t in range(x.shape[1]):
-            xp = f32(x[c, t] - b1 * z1 - b2 * z2 + f32(1e-15))
-            yy = f32(a0 * xp + a1 * z1 + a2 * z2 - c3 * z3 - c4 * z4)
-            z2 = z1
-            z1 = xp
-            z4 = f32(z4 + z3)
-            z3 = f32(z3 + yy)
-            y[c, t] = yy
-    return y
+    y1 = lfilter([k.a0, k.a1, k.a2], [1.0, k.b1, k.b2], x, axis=-1)
+    return lfilter([1.0, -2.0, 1.0], [1.0, k.c3 - 2.0, 1.0 - k.c3 + k.c4], y1, axis=-1)
 
 
 class EbuR128Oracle:
@@ -261,37 +256,33 @@ class EbuR128Oracle:
         self.count_S = 0
         self.z = np.zeros((self.nchan, 4), f32)
 
-    def _detect(self, x):
-        """x [C, k] block; returns fragment power contribution (float32 order)."""
+    def _power_series(self, x):
+        """Channel-combined K-weighted power per sample (float64 vectorized;
+        the fragment-rate gating logic below stays bit-faithful — filter
+        rounding differences vs the f32 reference are far below tolerance).
+        """
+        from scipy.signal import lfilter
+
         from meters_lv2_tpu.ops.design import k_weighting
 
         k = k_weighting(self.fs)
-        a0, a1, a2 = f32(k.a0), f32(k.a1), f32(k.a2)
-        b1, b2 = f32(k.b1), f32(k.b2)
-        c3, c4 = f32(k.c3), f32(k.c4)
-        si = f32(0)
-        for c in range(self.nchan):
-            z1, z2, z3, z4 = self.z[c]
-            sj = f32(0)
-            for t in range(x.shape[1]):
-                xp = f32(x[c, t] - b1 * z1 - b2 * z2 + f32(1e-15))
-                yy = f32(a0 * xp + a1 * z1 + a2 * z2 - c3 * z3 - c4 * z4)
-                z2 = z1
-                z1 = xp
-                z4 = f32(z4 + z3)
-                z3 = f32(z3 + yy)
-                sj = f32(sj + yy * yy)
-            if self.nchan == 1:
-                si = f32(2 * sj)
-            else:
-                si = f32(si + f32(self.chan_gain[c]) * sj)
-            self.z[c] = [
-                z1 if np.isfinite(z1) else 0,
-                z2 if np.isfinite(z2) else 0,
-                z3 if np.isfinite(z3) else 0,
-                z4 if np.isfinite(z4) else 0,
-            ]
-        return si
+        if not hasattr(self, "zi1"):
+            self.zi1 = np.zeros((self.nchan, 2))
+            self.zi2 = np.zeros((self.nchan, 2))
+        y1, self.zi1 = lfilter(
+            [k.a0, k.a1, k.a2], [1.0, k.b1, k.b2], x, axis=-1, zi=self.zi1
+        )
+        y, self.zi2 = lfilter(
+            [1.0, -2.0, 1.0],
+            [1.0, k.c3 - 2.0, 1.0 - k.c3 + k.c4],
+            y1,
+            axis=-1,
+            zi=self.zi2,
+        )
+        sq = y * y
+        if self.nchan == 1:
+            return 2.0 * sq[0]
+        return np.dot(self.chan_gain[: self.nchan], sq)
 
     def _addfrags(self, nfrag):
         k = (self.wrind - nfrag) & 63
@@ -347,12 +338,12 @@ class EbuR128Oracle:
 
     def process(self, x):
         """x [C, T]."""
-        x = x.astype(f32)
+        p = self._power_series(x.astype(np.float64))
         off = 0
         nfram = x.shape[1]
         while nfram:
             k = min(self.frcnt, nfram)
-            self.frpwr = f32(self.frpwr + self._detect(x[:, off : off + k]))
+            self.frpwr = self.frpwr + float(np.sum(p[off : off + k]))
             self.frcnt -= k
             if self.frcnt == 0:
                 self.power[self.wrind] = f32(self.frpwr / self.fragm)

@@ -1,0 +1,55 @@
+"""Deterministic fixture test signals, shared by tools/gen_fixtures.py (which
+runs them through the compiled reference) and the parity tests."""
+
+import zlib
+
+import numpy as np
+
+FS = 48000
+
+
+def make_signal(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
+    """Returns [2, T] float32 stereo."""
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    if name == "sine997":
+        l = 10 ** (-18 / 20) * np.sin(2 * np.pi * 997 * t)
+        r = 10 ** (-20 / 20) * np.sin(2 * np.pi * 1499 * t)
+    elif name == "mix":
+        env = 0.15 + 0.5 * (np.sin(2 * np.pi * 0.25 * t) > 0.2) + 0.2 * np.sin(
+            2 * np.pi * 0.05 * t
+        )
+        l = env * (0.4 * np.sin(2 * np.pi * 997 * t) + 0.05 * rng.standard_normal(n))
+        r = env * (0.3 * np.sin(2 * np.pi * 1499 * t) + 0.05 * rng.standard_normal(n))
+    elif name == "noise":
+        l = 0.3 * rng.standard_normal(n)
+        r = 0.3 * rng.standard_normal(n)
+    elif name == "bursts":
+        g = (np.sin(2 * np.pi * 0.7 * t) > 0).astype(np.float64)
+        l = 0.8 * g * rng.standard_normal(n)
+        r = 0.8 * g * rng.standard_normal(n)
+    elif name == "clipped":
+        l = np.clip(2.0 * np.sin(2 * np.pi * 441 * t), -1, 1)
+        r = np.clip(1.5 * np.sin(2 * np.pi * 883 * t + 0.5), -1, 1)
+    elif name == "silence_then_tone":
+        l = np.where(t > seconds / 2, 0.25 * np.sin(2 * np.pi * 997 * t), 0.0)
+        r = np.where(t > seconds / 2, 0.20 * np.sin(2 * np.pi * 499 * t), 0.0)
+    elif name == "intersample_peak":
+        # near-fs/4 tone with phase offset: true peak exceeds sample peak
+        l = 0.5 * np.sin(2 * np.pi * (fs / 4.0 - 10) * t + 0.3)
+        r = 0.5 * np.sin(2 * np.pi * (fs / 6.0 + 7) * t + 1.1)
+    else:
+        raise KeyError(name)
+    return np.stack([l, r]).astype(np.float32)
+
+
+ALL_SIGNALS = [
+    "sine997",
+    "mix",
+    "noise",
+    "bursts",
+    "clipped",
+    "silence_then_tone",
+    "intersample_peak",
+]

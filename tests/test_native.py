@@ -1,0 +1,94 @@
+"""Native runtime: WAV round-trips and the CPU engine vs JAX meters."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meters_lv2_tpu.io import wav as wavio
+from meters_lv2_tpu.runtime import native
+
+FS = 48000
+
+
+def _have_native():
+    return native.load() is not None
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(FS) / FS)).astype(np.float32)
+    data = np.stack([x, -x])
+    p = str(tmp_path / "t.wav")
+    wavio.write_wav(p, data, FS, format=32)
+    y, r = wavio.read_wav(p)
+    assert r == FS and y.shape == (2, FS)
+    np.testing.assert_allclose(y, data, atol=1e-7)
+    # PCM16 path
+    p2 = str(tmp_path / "t16.wav")
+    wavio.write_wav(p2, data, FS, format=16)
+    y2, _ = wavio.read_wav(p2)
+    np.testing.assert_allclose(y2, data, atol=1.5 / 32768)
+    # python fallback agrees with native reader
+    if _have_native():
+        yp, rp = wavio._read_wav_py(p)
+        np.testing.assert_allclose(yp, y, atol=0)
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+@pytest.mark.parametrize("kind", ["vu", "iec1", "iec2", "kmeter", "truepeak"])
+def test_native_engine_matches_jax(kind):
+    from meters_lv2_tpu.models import kmeter, needle, truepeak
+
+    rng = np.random.default_rng(7)
+    x = (0.4 * rng.standard_normal((2, 1024 * 20))).astype(np.float32)
+    eng = native.NativeEngine(kind, FS, 2)
+    cls = {
+        "vu": needle.VUMeter,
+        "iec1": needle.DINMeter,
+        "iec2": needle.BBCMeter,
+        "kmeter": kmeter.KMeter,
+        "truepeak": truepeak.TruePeakMeter,
+    }[kind]
+    m = cls(FS)
+    st = m.init((2,))
+    upd = jax.jit(m.update)
+    for b in range(20):
+        blk = x[:, b * 1024 : (b + 1) * 1024]
+        eng.process(blk)
+        st = upd(st, jnp.asarray(blk))
+    nv = eng.read()
+    if kind in ("vu", "iec1", "iec2"):
+        jv, _ = m.read(st, ref_level_db=-18.0)
+        np.testing.assert_allclose(np.asarray(jv), nv, rtol=2e-4)
+    elif kind == "kmeter":
+        jv, _ = m.read(st)
+        got = np.stack([np.asarray(jv["rms"]), np.asarray(jv["peak"])], -1).ravel()
+        np.testing.assert_allclose(got, nv, rtol=2e-4)
+    else:
+        jv, _ = m.read(st)
+        got = np.stack([np.asarray(jv["level"]), np.asarray(jv["peak"])], -1).ravel()
+        np.testing.assert_allclose(got, nv, rtol=3e-4)
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_r128_close_to_jax():
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from signals import make_signal
+
+    x = make_signal("mix", 12.0)
+    eng = native.NativeEngine("r128", FS, 2)
+    eng.process(x)
+    nv = eng.read()  # M, S, maxM, maxS, I, LRAmin, LRAmax, dbtp
+    m = EbuR128Meter(FS, nchan=2)
+    st = m.init(())
+    st = jax.jit(m.update)(st, jnp.asarray(x))
+    out, _ = jax.jit(m.read)(st)
+    for i, key in enumerate(
+        ["loudness_M", "loudness_S", "max_M", "max_S", "integrated",
+         "range_min", "range_max"]
+    ):
+        assert abs(float(out[key]) - nv[i]) < 0.01, (key, float(out[key]), nv[i])
+    assert abs(float(out["dbtp"]) - nv[7]) < 1e-4

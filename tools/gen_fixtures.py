@@ -1,0 +1,83 @@
+"""Generate committed parity fixtures by running the compiled reference
+(tools/build_golden.sh) over the deterministic test signals.
+
+Usage: python tools/gen_fixtures.py [golden_binary]
+Writes tests/fixtures/<meter>_<signal>.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+from signals import ALL_SIGNALS, FS, make_signal  # noqa: E402
+
+GOLDEN = sys.argv[1] if len(sys.argv) > 1 else "/tmp/meters_golden/golden"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+BLOCK = 1024
+READ_EVERY = 16
+
+CASES = [
+    # (meter, nchan, signals, seconds[, block, read_every])
+    ("vu", 2, ALL_SIGNALS, 6.0),
+    ("iec1", 2, ALL_SIGNALS, 6.0),
+    ("iec2", 2, ALL_SIGNALS, 6.0),
+    ("msppm", 2, ["mix", "noise", "sine997"], 6.0),
+    ("kmeter", 2, ALL_SIGNALS, 6.0),
+    ("truepeak", 2, ALL_SIGNALS, 6.0),
+    ("stcorr", 2, ["mix", "noise", "sine997", "clipped"], 6.0),
+    ("ebur128", 2, ALL_SIGNALS, 12.0),
+    ("ebur128mono", 1, ["mix", "sine997"], 12.0),
+    # fragment-aligned blocks: golden's 500 ms I/LRA recompute cadence lands
+    # exactly on the read points, so integrated/LRA compare directly
+    ("ebur128_aligned", 2, ["mix", "bursts", "silence_then_tone"], 12.0, 2400, 10),
+    ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
+]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for case in CASES:
+        meter, nchan, signals, seconds = case[:4]
+        block = case[4] if len(case) > 4 else BLOCK
+        read_every = case[5] if len(case) > 5 else READ_EVERY
+        gmeter = "ebur128" if meter.startswith("ebur128") else meter
+        for sig in signals:
+            x = make_signal(sig, seconds)  # [2, T]
+            if nchan == 1:
+                x = x[:1]
+            inter = np.ascontiguousarray(x.T).astype(np.float32)  # [T, C]
+            with tempfile.NamedTemporaryFile(suffix=".f32", delete=False) as f:
+                inter.tofile(f)
+                raw = f.name
+            try:
+                res = subprocess.run(
+                    [GOLDEN, gmeter, str(FS), str(block), str(read_every),
+                     str(nchan), raw],
+                    capture_output=True, text=True, check=True,
+                )
+            finally:
+                os.unlink(raw)
+            lines = [json.loads(l) for l in res.stdout.splitlines() if l.strip()]
+            fx = {
+                "meter": meter,
+                "signal": sig,
+                "fs": FS,
+                "nchan": nchan,
+                "seconds": seconds,
+                "block": block,
+                "read_every": read_every,
+                "reads": lines,
+            }
+            path = os.path.join(OUT, f"{meter}_{sig}.json")
+            with open(path, "w") as f:
+                json.dump(fx, f)
+            print(f"wrote {path} ({len(lines)} reads)")
+
+
+if __name__ == "__main__":
+    main()
