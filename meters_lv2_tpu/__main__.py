@@ -1,0 +1,127 @@
+"""Command-line batch metering — the offline counterpart of the reference's
+standalone apps (x42-meter-collection, doc/x42-meter.1).
+
+    python -m meters_lv2_tpu FILES... [--meters r128,truepeak,k20,...]
+                                      [--json] [--chunk-seconds 2.0]
+
+All files are decoded (native WAV codec), padded into one batch and
+analyzed in a single jitted pipeline; thousands of files amortize one
+compile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+METER_CHOICES = [
+    "r128", "truepeak", "vu", "din", "nor", "bbc", "ebu", "bbcms",
+    "k12", "k14", "k20", "cor", "dr14", "tpnrms", "spectrum", "sigdist",
+    "bitmeter",
+]
+
+
+def build_meter(name: str, fs: float, nchan: int):
+    from .models import (
+        cor, dr14, ebur128, kmeter, needle, sigdist, spectrum, truepeak,
+        bitmeter,
+    )
+
+    table = {
+        "r128": lambda: ebur128.EbuR128Meter(fs, nchan=nchan),
+        "truepeak": lambda: truepeak.TruePeakMeter(fs),
+        "vu": lambda: needle.VUMeter(fs),
+        "din": lambda: needle.DINMeter(fs),
+        "nor": lambda: needle.NordicMeter(fs),
+        "bbc": lambda: needle.BBCMeter(fs),
+        "ebu": lambda: needle.EBUMeter(fs),
+        "bbcms": lambda: needle.BBCMidSideMeter(fs),
+        "k12": lambda: kmeter.K12Meter(fs),
+        "k14": lambda: kmeter.K14Meter(fs),
+        "k20": lambda: kmeter.K20Meter(fs),
+        "cor": lambda: cor.CorrelationMeter(fs),
+        "dr14": lambda: dr14.DR14Meter(fs, nchan=nchan),
+        "tpnrms": lambda: dr14.TPnRMSMeter(fs, nchan=nchan),
+        "spectrum": lambda: spectrum.SpectrumAnalyzer(fs),
+        "sigdist": lambda: sigdist.SigDistMeter(fs),
+        "bitmeter": lambda: bitmeter.BitMeter(fs),
+    }
+    return table[name]()
+
+
+def _to_py(o):
+    if isinstance(o, dict):
+        return {k: _to_py(v) for k, v in o.items()}
+    arr = np.asarray(o)
+    if arr.size > 64:  # don't dump whole histograms unless asked
+        return {"shape": list(arr.shape), "max": float(arr.max())}
+    if arr.ndim == 0:
+        return float(arr)
+    return [round(float(v), 6) for v in arr.ravel()]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="meters_lv2_tpu", description=__doc__)
+    ap.add_argument("files", nargs="+", help="WAV files to analyze")
+    ap.add_argument(
+        "--meters", default="r128,truepeak",
+        help=f"comma list from: {','.join(METER_CHOICES)}",
+    )
+    ap.add_argument("--json", action="store_true", help="machine output")
+    ap.add_argument("--chunk-seconds", type=float, default=2.0)
+    ap.add_argument("--ref-level", type=float, default=-18.0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .io.batch import load_files
+    from .parallel.pipeline import MeterPipeline
+
+    batch = load_files(args.files)
+    B, C, T = batch.data.shape
+    fs = batch.rate
+
+    names = [m.strip() for m in args.meters.split(",") if m.strip()]
+    for n in names:
+        if n not in METER_CHOICES:
+            ap.error(f"unknown meter {n!r}")
+    pipe = MeterPipeline(
+        {n: build_meter(n, fs, C) for n in names}, nchan=C
+    )
+
+    chunk = int(fs * args.chunk_seconds)
+    Tpad = ((T + chunk - 1) // chunk) * chunk
+    x = np.zeros((B, C, Tpad), np.float32)
+    x[:, :, :T] = batch.data
+
+    @jax.jit
+    def analyze(x):
+        st = pipe.init((B,))
+        st = pipe.run_stream(st, x, chunk)
+        return pipe.read(st)
+
+    outs, _ = analyze(jnp.asarray(x))
+
+    results = []
+    for i, path in enumerate(args.files):
+        row = {"file": path, "seconds": float(batch.lengths[i] / fs)}
+        for n in names:
+            row[n] = _to_py(jax.tree_util.tree_map(lambda a: a[i], outs[n]))
+        results.append(row)
+
+    if args.json:
+        print(json.dumps(results, indent=None))
+    else:
+        for row in results:
+            print(f"== {row['file']} ({row['seconds']:.1f}s)")
+            for n in names:
+                print(f"  [{n}] {json.dumps(row[n])}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

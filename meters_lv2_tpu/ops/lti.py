@@ -184,6 +184,10 @@ def lti_scan(op: LTIBlockOp, u: jax.Array, s0: jax.Array) -> tuple[jax.Array, ja
     def step(s, gk):
         return _mm_state(s, op.at) + gk, s
 
+    # join varying-axes metadata with the inputs' (relevant under
+    # jax.shard_map, where a locally-created zero state is "unvarying" but
+    # the scanned inputs vary over the mesh axes)
+    s0 = s0 + jnp.zeros_like(gin_t[0])
     s_fin, s_all = jax.lax.scan(step, s0, gin_t)
     s_all = jnp.moveaxis(s_all, 0, -2)  # [..., nblk, d] (block-entry states)
     y = conv_y + _mm_blocks(s_all, op.sy)

@@ -136,7 +136,7 @@ def analyze_r128(meter: EbuR128Meter, x, mesh: Mesh):
     Returns the same readout dict as EbuR128Meter.read (integrated / LRA
     computed from the psum'd histograms).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     assert x.shape[1] == meter.nchan, (x.shape, meter.nchan)
     body = partial(_analyze_shard, meter, sp_axis="sp")
@@ -156,7 +156,7 @@ def analyze_r128(meter: EbuR128Meter, x, mesh: Mesh):
                 "count_s": P("dp"),
                 "dbtp": P("dp"),
             },
-            check_rep=False,
+            check_vma=False,
         )
     )(x)
 

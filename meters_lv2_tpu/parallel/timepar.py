@@ -61,6 +61,8 @@ def lti_apply_sp(
         s_next = jnp.matmul(s, jnp.asarray(aL)) + b_all[i]
         return jnp.where(i < k, s_next, s)
 
+    # join shard_map varying-axes metadata with the gathered responses
+    s0 = s0 + jnp.zeros_like(b_all[0])
     s_in = jax.lax.fori_loop(0, nsp, step, s0)
 
     # pass 2: exact local outputs from the true incoming state
