@@ -6,9 +6,11 @@ wall-clock second) and vs_baseline is relative to the BASELINE.json
 north-star target of 10,000x realtime per chip.
 
 The workload is the full reference pipeline (SURVEY.md §3.3): K-weighting
-+ fragment powers + M/S loudness + gating histograms + 4x oversampled
-true peak, streamed through the state-carrying update() under one jit
-(lax.scan over time chunks keeps HBM bounded).
++ fragment powers + M/S loudness + gating histograms + radar + 4x
+oversampled true peak, streamed through the state-carrying update().  A
+python loop dispatches one jitted update per chunk (dispatch is ~ms
+against 20+ ms of device work), so only the single-chunk program compiles
+— it is served from the persistent compilation cache on repeat runs.
 """
 
 import json
@@ -32,31 +34,27 @@ def main():
     dur = chunk_s * n_chunks
 
     meter = EbuR128Meter(fs, nchan=2)
+    update = jax.jit(meter.update)
+    read = jax.jit(meter.read)
 
     key = jax.random.PRNGKey(0)
-    x = 0.1 * jax.random.normal(key, (B, 2, n_chunks, Tc), jnp.float32)
-
-    @jax.jit
-    def analyze(x):
-        st = meter.init((B,))
-        xs = jnp.moveaxis(x, 2, 0)  # [n_chunks, B, 2, Tc]
-
-        def step(st, xc):
-            return meter.update(st, xc), ()
-
-        st, _ = jax.lax.scan(step, st, xs)
-        out, _ = meter.read(st)
-        return out
+    x = 0.1 * jax.random.normal(key, (B, 2, Tc), jnp.float32)
 
     # warmup / compile
-    out = analyze(x)
+    st = meter.init((B,))
+    st = update(st, x)
+    out, _ = read(st)
     jax.block_until_ready(out["integrated"])
 
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     best = float("inf")
     for _ in range(runs):
+        st = meter.init((B,))
+        jax.block_until_ready(st.loud_m)
         t0 = time.perf_counter()
-        out = analyze(x)
+        for _ in range(n_chunks):
+            st = update(st, x)
+        out, _ = read(st)
         jax.block_until_ready(out["integrated"])
         best = min(best, time.perf_counter() - t0)
 

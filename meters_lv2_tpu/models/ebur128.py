@@ -70,6 +70,13 @@ class EbuR128State:
     dbtp: jax.Array  # [...] running oversampled |peak|
     integrating: jax.Array  # [...] bool
     n_samples: jax.Array  # [...] int64-ish int32 total samples seen
+    # radar history (src/ebulv2.cc:160-176, 390-421): 360-point rings
+    radar_m: jax.Array  # [..., 360]
+    radar_s: jax.Array  # [..., 360]
+    radar_pos: jax.Array  # [...] int32 ring write position
+    radar_cur_m: jax.Array  # [...] running max since last radar point
+    radar_cur_s: jax.Array  # [...]
+    radar_spd_cur: jax.Array  # [...] int32 samples into current interval
 
 
 jax.tree_util.register_dataclass(
@@ -78,9 +85,13 @@ jax.tree_util.register_dataclass(
         "z", "tp_hist", "frpwr", "off", "fhist", "loud_m", "loud_s",
         "max_m", "max_s", "hist_m", "hist_s", "count_m", "count_s",
         "div1", "div2", "dbtp", "integrating", "n_samples",
+        "radar_m", "radar_s", "radar_pos", "radar_cur_m", "radar_cur_s",
+        "radar_spd_cur",
     ],
     meta_fields=[],
 )
+
+RADAR_POINTS = 360
 
 
 def _roll_right(a: jax.Array, off: jax.Array) -> jax.Array:
@@ -109,11 +120,16 @@ def _roll_right(a: jax.Array, off: jax.Array) -> jax.Array:
 class EbuR128Meter:
     """Full R128 meter; channels C in {1, 2, 5} (ebu_r128_proc.h:26)."""
 
-    def __init__(self, fs: float, nchan: int = 2, dtype=jnp.float32):
+    def __init__(
+        self, fs: float, nchan: int = 2, radar_seconds: float = 120.0,
+        dtype=jnp.float32,
+    ):
         assert 1 <= nchan <= 5
         self.fs = float(fs)
         self.nchan = nchan
         self.fragm = int(fs) // 20
+        # radar interval (ebu_set_radarspeed, src/ebulv2.cc:75-78)
+        self.radar_spd = max(int(round(radar_seconds * fs / RADAR_POINTS)), 4096)
         self.sys = lti.LTISystem(*design.k_weighting_state_space(fs), dtype)
         if nchan == 1:
             gains = np.array([2.0])
@@ -148,6 +164,12 @@ class EbuR128Meter:
             dbtp=jnp.zeros(batch_shape, self.dtype),
             integrating=jnp.ones(batch_shape, bool),
             n_samples=i(),
+            radar_m=jnp.full((*batch_shape, RADAR_POINTS), -jnp.inf, self.dtype),
+            radar_s=jnp.full((*batch_shape, RADAR_POINTS), -jnp.inf, self.dtype),
+            radar_pos=i(),
+            radar_cur_m=jnp.full(batch_shape, -jnp.inf, self.dtype),
+            radar_cur_s=jnp.full(batch_shape, -jnp.inf, self.dtype),
+            radar_spd_cur=i(),
         )
 
     def integr_start(self, state):  # ebu_r128_proc.h integr_start/pause
@@ -267,12 +289,53 @@ class EbuR128Meter:
         hist_m, dcm = scatter(state.hist_m, lm, m_pt)
         hist_s, dcs = scatter(state.hist_s, ls, s_pt)
 
+        # 6) radar history: per-interval max of fragment-rate loudness
+        # (src/ebulv2.cc:390-421; the reference samples at block rate, we
+        # sample at the finer fragment rate)
+        adv = jnp.where(slot == 0, fragm - off[..., None], fragm)
+        ring_iota = jnp.arange(RADAR_POINTS, dtype=jnp.int32)
+
+        def radar_step(carry, inp):
+            rm, rs, pos, cm, cs, spd = carry
+            lm_s, ls_s, adv_s, valid_s = inp
+            cm = jnp.where(valid_s, jnp.maximum(cm, lm_s), cm)
+            cs = jnp.where(valid_s, jnp.maximum(cs, ls_s), cs)
+            spd = spd + jnp.where(valid_s, adv_s, 0)
+            fire = valid_s & (spd > self.radar_spd)
+            oh = ring_iota == pos[..., None]
+            sel = oh & fire[..., None]
+            rm = jnp.where(sel, cm[..., None], rm)
+            rs = jnp.where(sel, cs[..., None], rs)
+            pos = jnp.where(fire, (pos + 1) % RADAR_POINTS, pos)
+            spd = jnp.where(fire, spd % self.radar_spd, spd)
+            cm = jnp.where(fire, -jnp.inf, cm)
+            cs = jnp.where(fire, -jnp.inf, cs)
+            return (rm, rs, pos, cm, cs, spd), None
+
+        inp = (
+            jnp.moveaxis(lm, -1, 0),
+            jnp.moveaxis(ls, -1, 0),
+            jnp.moveaxis(jnp.broadcast_to(adv, valid.shape), -1, 0),
+            jnp.moveaxis(valid, -1, 0),
+        )
+        (radar_m, radar_s, radar_pos, rcm, rcs, rspd), _ = jax.lax.scan(
+            radar_step,
+            (
+                state.radar_m, state.radar_s, state.radar_pos,
+                state.radar_cur_m, state.radar_cur_s,
+                state.radar_spd_cur + jnp.zeros_like(ncomp),
+            ),
+            inp,
+        )
+        off_new = (off + T) % fragm
+        rspd = rspd + jnp.where(ncomp > 0, off_new, T)
+
         n_int = jnp.where(state.integrating, ncomp, 0)
         return EbuR128State(
             z=z,
             tp_hist=tp_hist,
             frpwr=jnp.take_along_axis(seg, ncomp[..., None], -1)[..., 0],
-            off=(off + T) % fragm,
+            off=off_new,
             fhist=roll,
             loud_m=loud_m,
             loud_s=loud_s,
@@ -287,6 +350,12 @@ class EbuR128Meter:
             dbtp=dbtp,
             integrating=state.integrating,
             n_samples=state.n_samples + T,
+            radar_m=radar_m,
+            radar_s=radar_s,
+            radar_pos=radar_pos,
+            radar_cur_m=rcm,
+            radar_cur_s=rcs,
+            radar_spd_cur=rspd,
         )
 
     # -- gated statistics (ebu_r128_proc.cc:82-150) ---------------------------
@@ -359,4 +428,20 @@ class EbuR128Meter:
             "lra": v1 - v0,
             "dbtp": state.dbtp,
             "integ_time_s": state.n_samples / self.fs,
+            "radar_m": state.radar_m,
+            "radar_s": state.radar_s,
+            "radar_pos": state.radar_pos,
         }, state
+
+    def radar_reset(self, state: EbuR128State) -> EbuR128State:
+        """CTL_RESETRADAR (src/ebulv2.cc:296-300)."""
+        b = state.loud_m.shape
+        return dataclasses.replace(
+            state,
+            radar_m=jnp.full((*b, RADAR_POINTS), -jnp.inf, self.dtype),
+            radar_s=jnp.full((*b, RADAR_POINTS), -jnp.inf, self.dtype),
+            radar_pos=jnp.zeros_like(state.radar_pos),
+            radar_cur_m=jnp.full(b, -jnp.inf, self.dtype),
+            radar_cur_s=jnp.full(b, -jnp.inf, self.dtype),
+            radar_spd_cur=jnp.zeros_like(state.radar_spd_cur),
+        )

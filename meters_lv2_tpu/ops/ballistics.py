@@ -66,34 +66,71 @@ def ppm_update(
     """
     *batch, T = t.shape
     assert T % 4 == 0, T
-    w1 = jnp.float32(coeffs.w1)
-    w2 = jnp.float32(coeffs.w2)
-    w3 = jnp.float32(coeffs.w3)
 
     z1 = jnp.clip(state.z1, clamp_lo, clamp_hi)
     z2 = jnp.clip(state.z2, clamp_lo, clamp_hi)
     m0 = jnp.where(state.res, 0.0, state.m)
 
+    z1, z2, m, _ = _run_ballistics(coeffs, t, z1, z2, m0, None)
+    return PPMState(
+        z1=z1 + denormal, z2=z2 + denormal, m=m, res=jnp.zeros_like(state.res)
+    )
+
+
+def _use_pallas() -> bool:
+    import os
+
+    mode = os.environ.get("METERS_TPU_PALLAS", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _run_ballistics(coeffs, t, z1, z2, m, p):
+    """Dispatch the core recurrence: Pallas kernel on TPU, grouped lax.scan
+    elsewhere.  p (raw peak tracking) may be None.  Shapes: t [..., T],
+    states [...]."""
+    *batch, T = t.shape
+    track_peak = p is not None
+    if _use_pallas():
+        import numpy as np
+
+        from . import pallas_ballistics as pb
+
+        nb = int(np.prod(batch)) if batch else 1
+        pz = (p if track_peak else jnp.zeros_like(m)).reshape(nb)
+        z1f, z2f, mf, pf = pb.ballistics_pallas(
+            t.reshape(nb, T), z1.reshape(nb), z2.reshape(nb), m.reshape(nb),
+            pz, w1=coeffs.w1, w2=coeffs.w2, w3=coeffs.w3,
+            track_peak=track_peak,
+        )
+        rs = lambda v: v.reshape(*batch) if batch else v.reshape(())
+        return rs(z1f), rs(z2f), rs(mf), (rs(pf) if track_peak else None)
+
+    w1 = jnp.float32(coeffs.w1)
+    w2 = jnp.float32(coeffs.w2)
+    w3 = jnp.float32(coeffs.w3)
     tg = jnp.moveaxis(t.reshape(*batch, T // 4, 4), -2, 0)  # [G, ..., 4]
 
-    def attack(z, w, ti):
-        return jnp.maximum(z, z + w * (ti - z))
-
     def step(carry, tb):
-        z1, z2, m = carry
+        z1, z2, m, p = carry
         z1 = z1 * w3
         z2 = z2 * w3
         for i in range(4):
             ti = tb[..., i]
-            z1 = attack(z1, w1, ti)
-            z2 = attack(z2, w2, ti)
+            z1 = jnp.maximum(z1, z1 + w1 * (ti - z1))
+            z2 = jnp.maximum(z2, z2 + w2 * (ti - z2))
+            if track_peak:
+                p = jnp.maximum(p, ti)
         m = jnp.maximum(m, z1 + z2)
-        return (z1, z2, m), None
+        return (z1, z2, m, p), None
 
-    (z1, z2, m), _ = jax.lax.scan(step, (z1, z2, m0), tg)
-    return PPMState(
-        z1=z1 + denormal, z2=z2 + denormal, m=m, res=jnp.zeros_like(state.res)
-    )
+    p0 = p if track_peak else jnp.zeros_like(m)
+    (z1, z2, m, p), _ = jax.lax.scan(step, (z1, z2, m, p0), tg)
+    return z1, z2, m, (p if track_peak else None)
 
 
 def ppm_read(coeffs: BallisticsCoeffs, state: PPMState) -> tuple[jax.Array, PPMState]:
@@ -135,30 +172,13 @@ def true_peak_update(
     """Process a block of the rectified 4x-oversampled stream [..., 4*n]."""
     *batch, T4 = up_abs.shape
     assert T4 % 4 == 0
-    w1 = jnp.float32(coeffs.w1)
-    w2 = jnp.float32(coeffs.w2)
-    w3 = jnp.float32(coeffs.w3)
 
     z1 = jnp.clip(state.z1, 0.0, 20.0)
     z2 = jnp.clip(state.z2, 0.0, 20.0)
     m0 = jnp.zeros_like(state.m)
     p0 = jnp.zeros_like(state.p)
 
-    tg = jnp.moveaxis(up_abs.reshape(*batch, T4 // 4, 4), -2, 0)
-
-    def step(carry, tb):
-        z1, z2, m, p = carry
-        z1 = z1 * w3
-        z2 = z2 * w3
-        for i in range(4):
-            v = tb[..., i]
-            z1 = jnp.maximum(z1, z1 + w1 * (v - z1))
-            z2 = jnp.maximum(z2, z2 + w2 * (v - z2))
-            p = jnp.maximum(p, v)
-        m = jnp.maximum(m, z1 + z2)
-        return (z1, z2, m, p), None
-
-    (z1, z2, m, p), _ = jax.lax.scan(step, (z1, z2, m0, p0), tg)
+    z1, z2, m, p = _run_ballistics(coeffs, up_abs, z1, z2, m0, p0)
     m = m * jnp.float32(coeffs.g)
     m = jnp.where(state.res, m, jnp.maximum(m, state.m))
     p = jnp.where(state.res, p, jnp.maximum(p, state.p))
