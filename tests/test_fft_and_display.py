@@ -1,0 +1,155 @@
+"""STFT engine, analysis meters, display deflection curves."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+FS = 48000
+
+
+def test_stft_matches_numpy_reference():
+    from meters_lv2_tpu.ops.fft import STFT, make_window
+
+    W = 1024
+    st = STFT(FS, window_size=W, fps=25.0)
+    hop = st.hop
+    rng = np.random.default_rng(0)
+    x = (0.5 * rng.standard_normal(hop * 4)).astype(np.float32)
+
+    power, phase, _ = st.update(st.init(()), jnp.asarray(x))
+    power = np.asarray(power)
+    phase = np.asarray(phase)
+
+    win = make_window("hann", W)
+    # frame f ends at sample (f+1)*hop; leading history is zeros
+    xpad = np.concatenate([np.zeros(W, np.float32), x])
+    for f in range(4):
+        seg = xpad[(f + 1) * hop : (f + 1) * hop + W] * win
+        X = np.fft.rfft(seg)
+        pw = (X.real**2 + X.imag**2)[: W // 2]
+        ph = np.arctan2(X.imag, X.real)[: W // 2]
+        pw[0] = X.real[0] ** 2
+        pw[-1] = 0.0
+        ph[0] = 0.0
+        ph[-1] = 0.0
+        np.testing.assert_allclose(power[f], pw, rtol=2e-3, atol=1e-4)
+        # compare phases where power is significant
+        sig = pw > 1e-6
+        dp = np.angle(np.exp(1j * (phase[f] - ph)))
+        assert np.abs(dp[sig]).max() < 1e-2
+
+
+def test_windows_normalised():
+    from meters_lv2_tpu.ops.fft import WINDOW_TYPES, make_window
+
+    for kind in WINDOW_TYPES:
+        w = make_window(kind, 512)
+        np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-12)
+
+
+def test_goniometer_rotation_and_autogain():
+    from meters_lv2_tpu.models.goniometer import Goniometer
+
+    t = np.arange(FS) / FS
+    l = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    lr = np.stack([l, l])  # identical channels → pure "mid": x ≈ 0
+    g = Goniometer(FS, oversample=1)
+    st = g.init(())
+    out, st = jax.jit(g.process)(st, jnp.asarray(lr))
+    x, y = np.asarray(out["x"]), np.asarray(out["y"])
+    assert np.abs(x[FS // 2 :]).max() < 1e-4  # L-R ~ 0
+    assert np.abs(y[FS // 2 :]).max() > 0.5  # L+R strong
+    # autogain converges towards 2/(max*g_target)
+    for _ in range(5):
+        out, st = jax.jit(g.process)(st, jnp.asarray(lr))
+    assert 0.5 < float(out["gain"]) < 3.0
+
+
+def test_goniometer_oversampled_matches_width():
+    from meters_lv2_tpu.models.goniometer import Goniometer
+
+    lr = (0.1 * np.random.default_rng(0).standard_normal((2, 4800))).astype(
+        np.float32
+    )
+    g = Goniometer(FS, oversample=4)
+    out, _ = jax.jit(g.process)(g.init(()), jnp.asarray(lr))
+    assert out["x"].shape == (4 * 4800,)
+
+
+def test_phasewheel_detects_phase_shift():
+    from meters_lv2_tpu.models.phasewheel import PhaseWheel
+
+    pw = PhaseWheel(FS, bins=512, db_thresh_db=-80.0)
+    hop = pw.stft.hop
+    T = hop * 8
+    t = np.arange(T) / FS
+    f0 = 3000.0
+    shift = np.pi / 3
+    lr = np.stack(
+        [np.sin(2 * np.pi * f0 * t), np.sin(2 * np.pi * f0 * t + shift)]
+    ).astype(np.float32)
+    out, _ = jax.jit(pw.process)(pw.init(()), jnp.asarray(lr))
+    lvl = np.asarray(out["level"][-1])
+    ph = np.asarray(out["phase"][-1])
+    b = lvl.argmax()
+    # measured inter-channel phase at the peak bin ≈ +pi/3
+    assert abs(ph[b] - shift) < 0.05, (b, ph[b])
+
+
+def test_stereoscope_position():
+    from meters_lv2_tpu.models.phasewheel import Stereoscope
+
+    sc = Stereoscope(FS, bins=512)
+    hop = sc.stft.hop
+    T = hop * 20
+    t = np.arange(T) / FS
+    # tone panned hard right
+    lr = np.stack(
+        [0.001 * np.sin(2 * np.pi * 2000 * t), 0.8 * np.sin(2 * np.pi * 2000 * t)]
+    ).astype(np.float32)
+    out, _ = jax.jit(sc.process)(sc.init(()), jnp.asarray(lr))
+    lvl = np.asarray(out["level"])
+    pos = np.asarray(out["lr"])
+    b = lvl.argmax()
+    assert pos[b] > 0.9, pos[b]  # hard right ≈ 1.0
+
+
+def test_deflection_curves():
+    from meters_lv2_tpu.utils import db
+
+    # VU: 0 VU reference point — needle value v such that deflection ~ mid
+    assert abs(float(db.meter_deflect(db.MT_VU, 0.0889)) - 0.5) < 0.01
+    # IEC268 bar: -20 dB maps to 50/115
+    np.testing.assert_allclose(
+        float(db.iec268_deflect(-20.0)), 50.0 / 115.0, rtol=1e-6
+    )
+    assert float(db.iec268_deflect(-80.0)) == 0.0
+    assert float(db.iec268_deflect(10.0)) == 1.0
+    # K-meter: 0 dB at K-scale top region
+    v = float(db.kmeter_deflect(-20.0 - 20.0, 20.0))  # -20 below 0K
+    assert 0.0 < v < 0.5
+    assert float(db.kmeter_deflect(0.0, 20.0)) == 1.0
+    # correlation: ±1 → 0/1
+    assert float(db.meter_deflect(db.MT_COR, -1.0)) == 0.0
+    assert float(db.meter_deflect(db.MT_COR, 1.0)) == 1.0
+
+
+def test_surround_pairs():
+    from meters_lv2_tpu.models.surround import Surround5Meter
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(FS).astype(np.float32)
+    x = np.stack(
+        [base, base, rng.standard_normal(FS).astype(np.float32),
+         0.5 * base, -base]
+    )
+    m = Surround5Meter(FS, pairs=((0, 1), (0, 2), (0, 3), (0, 4)))
+    st = m.init(())
+    st = jax.jit(m.update)(st, jnp.asarray(x))
+    out, _ = m.read(st)
+    c = np.asarray(out["correlation"])
+    assert c[0] > 0.95  # identical
+    assert abs(c[1]) < 0.2  # uncorrelated
+    assert c[2] > 0.95  # scaled copy
+    assert c[3] < -0.95  # inverted
