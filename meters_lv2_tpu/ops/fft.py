@@ -146,6 +146,33 @@ class STFT:
         )
         return power, phase, new_state
 
+    def analyze_impulse(self, run_fn, prerun: int = 8192):
+        """Transfer-function self-analysis (fa_analyze_dsp, fft.c:363-387):
+        pre-feed `prerun` zeros through run_fn (flushes filter state), then
+        a unit impulse, and analyze the windowed response.
+
+        run_fn: callable(block [T]) -> processed block [T] (e.g. a meter's
+        filter path).  Returns (power [W/2], phase [W/2]).
+        """
+        import numpy as np
+
+        W = self.window_size
+        n = 0
+        while n < prerun:
+            step = min(prerun - n, W)
+            run_fn(jnp.zeros(step, self.dtype))
+            n += step
+        buf = jnp.zeros(W, self.dtype).at[0].set(1.0)
+        y = run_fn(buf)
+        # NB: no analysis window — fa_analyze_dsp fills fft_in directly and
+        # calls ft_analyze, skipping the window multiply (fft.c:363-387)
+        X = jnp.fft.rfft(y[None], axis=-1)
+        re = jnp.real(X).astype(self.dtype)
+        im = jnp.imag(X).astype(self.dtype)
+        power = (re * re + im * im)[0, : self.data_size]
+        phase = jnp.arctan2(im, re)[0, : self.data_size]
+        return power, phase
+
     def freq_at_bin(
         self, phase: jax.Array, phase_h: jax.Array, step: int
     ) -> jax.Array:

@@ -181,15 +181,46 @@ def lti_scan(op: LTIBlockOp, u: jax.Array, s0: jax.Array) -> tuple[jax.Array, ja
     gin = _mm_blocks(uf, op.g)  # [..., nblk, d]
     gin_t = jnp.moveaxis(gin, -2, 0)  # [nblk, ..., d]
 
-    def step(s, gk):
-        return _mm_state(s, op.at) + gk, s
-
     # join varying-axes metadata with the inputs' (relevant under
     # jax.shard_map, where a locally-created zero state is "unvarying" but
     # the scanned inputs vary over the mesh axes)
     s0 = s0 + jnp.zeros_like(gin_t[0])
-    s_fin, s_all = jax.lax.scan(step, s0, gin_t)
-    s_all = jnp.moveaxis(s_all, 0, -2)  # [..., nblk, d] (block-entry states)
+
+    if nblk >= 16 and op.kmat.ndim == 2:
+        # log-depth block-state propagation: the per-block affine maps
+        # s -> s @ At + g compose associatively ((A1@A2, b1@A2 + b2)), so
+        # prefix states come from one associative_scan instead of an
+        # nblk-step sequential loop (the loop's per-step overhead, not its
+        # FLOPs, dominates on TPU).
+        d = op.d
+        A_el = jnp.broadcast_to(jnp.asarray(op.at), (nblk, d, d))
+        b_el = gin_t.reshape(nblk, -1, d)  # [nblk, B*, d]
+
+        def compose(l, r):
+            Al, bl = l
+            Ar, br = r
+            A2 = jnp.matmul(Al, Ar, precision=_HIGH)
+            b2 = jnp.einsum("k...i,kij->k...j", bl, Ar, precision=_HIGH) + br
+            return A2, b2
+
+        A_pre, b_pre = jax.lax.associative_scan(compose, (A_el, b_el))
+        # entry state of block i: s0 @ A_pre[i-1] + b_pre[i-1]; block 0 = s0
+        s0f = s0.reshape(-1, d)
+        s_entry = (
+            jnp.einsum("bi,kij->kbj", s0f, A_pre, precision=_HIGH) + b_pre
+        )  # [nblk, B*, d] = states entering blocks 1..nblk (index i -> block i+1)
+        s_all = jnp.concatenate([s0f[None], s_entry[:-1]], axis=0)
+        s_fin = s_entry[-1].reshape(s0.shape)
+        s_all = jnp.moveaxis(
+            s_all.reshape(nblk, *s0.shape), 0, -2
+        )  # [..., nblk, d]
+    else:
+        def step(s, gk):
+            return _mm_state(s, op.at) + gk, s
+
+        s_fin, s_all = jax.lax.scan(step, s0, gin_t)
+        s_all = jnp.moveaxis(s_all, 0, -2)  # [..., nblk, d] (entry states)
+
     y = conv_y + _mm_blocks(s_all, op.sy)
     y = y.reshape(*batch, T_total, op.p)
     if squeeze:

@@ -153,3 +153,51 @@ def test_surround_pairs():
     assert abs(c[1]) < 0.2  # uncorrelated
     assert c[2] > 0.95  # scaled copy
     assert c[3] < -0.95  # inverted
+
+
+def test_schema_registry():
+    from meters_lv2_tpu.models import available, schema
+
+    # every registered meter has a schema
+    for name in available():
+        s = schema.schema_for(name)
+        assert s.outputs, name
+
+
+def test_render_images():
+    from meters_lv2_tpu.utils import db, render
+
+    img = render.needle_image(0.0889, db.MT_VU)
+    assert img.shape[2] == 4 and img[..., 3].min() == 255
+    assert (img[..., 0] > 200).any()  # needle drawn
+    bar = render.bargraph_image(-10.0, 20.0)
+    assert (bar[..., 1] > 100).any()
+    radar = render.radar_image(np.full(360, -23.0), 10)
+    assert radar.shape == (200, 200, 4)
+
+
+def test_analyze_impulse_transfer():
+    """fa_analyze_dsp equivalent: measure the K-weighting transfer function
+    and check the BS.1770 high-shelf (+4 dB at 10 kHz, ~0.6 dB at 1 kHz)."""
+    from meters_lv2_tpu.ops import design, lti
+    from meters_lv2_tpu.ops.fft import STFT
+
+    sysk = lti.LTISystem(*design.k_weighting_state_space(FS))
+    state = {"s": sysk.init(())}
+
+    def run(block):
+        y, state["s"] = sysk.apply(block, state["s"])
+        return y
+
+    st = STFT(FS, window_size=8192, fps=25.0)
+    power, _ = st.analyze_impulse(run)
+    power = np.asarray(power)
+    freq = np.arange(st.data_size) * FS / 8192
+    def level(f):
+        b = int(round(f * 8192 / FS))
+        return 10 * np.log10(power[b])
+    ref1k = level(997)
+    assert abs(ref1k - 0.65) < 0.4, ref1k        # shelf onset near 1 kHz
+    assert abs(level(10000) - 4.0) < 0.6         # +4 dB high shelf
+    assert abs(level(50) - (-3.6)) < 1.0         # RLB high-pass @50 Hz
+    assert level(25) < -7.5                       # deeper rolloff below

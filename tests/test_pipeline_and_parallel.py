@@ -63,8 +63,12 @@ def test_timepar_lti_matches_serial():
             body, mesh=mesh, in_specs=P("sp"), out_specs=(P("sp"), P()), check_vma=False,
         )
     )(jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(s_sp), np.asarray(s_ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(y_sp), np.asarray(y_ref), atol=2e-5, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sp), np.asarray(s_ref), atol=2e-5, rtol=1e-6
+    )
 
 
 def test_sharded_r128_matches_serial():
