@@ -202,7 +202,7 @@ class EbuR128Meter:
 
         # 1) K-weighting + per-sample combined power
         y, z = self.sys.apply(x, state.z)  # [..., C, T]
-        p = jnp.einsum("...ct,c->...t", jnp.square(y), self.gains)
+        p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
 
         # 2) true peak (oversampled |max|) — src/ebulv2.cc:344-347
         up, tp_hist = resample.upsample4(x, state.tp_hist, self.tp_taps)

@@ -29,6 +29,72 @@ def upsample_taps(factor: int, hl: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(upsample_poly_kernel(factor, hl), dtype)
 
 
+_BLOCK_MATS: dict[tuple, np.ndarray] = {}
+
+
+def _block_matrix(taps: np.ndarray, tb: int) -> np.ndarray:
+    """Dense block operator M [tb + K - 1, factor*tb] with
+    M[j+i, factor*j + ph] = taps[ph, i] — one MXU GEMM produces factor*tb
+    outputs from tb inputs + (K-1)-sample halo.
+
+    XLA lowers the equivalent 1-channel conv off the MXU (~100x slower on
+    TPU); this keeps the FIR on the systolic array.
+    """
+    factor, K = taps.shape
+    key = (taps.tobytes(), tb)
+    if key not in _BLOCK_MATS:
+        M = np.zeros((tb + K - 1, factor * tb), np.float32)
+        for j in range(tb):
+            for ph in range(factor):
+                M[j : j + K, factor * j + ph] = taps[ph]
+        _BLOCK_MATS[key] = M
+    return _BLOCK_MATS[key]
+
+
+def _upsample_blocked(
+    x: jax.Array, hist: jax.Array, taps_np: np.ndarray, tb: int = 128
+) -> tuple[jax.Array, jax.Array]:
+    """Core polyphase upsampler as overlapping-block GEMMs.
+
+    x [..., T], hist [..., K-1] -> (up [..., factor*T], new_hist).
+    Overlapping frames are assembled from plain reshapes/slices (no
+    gather): frame n = [block_n, head of block_{n+1}].
+    """
+    factor, K = taps_np.shape
+    nh = K - 1
+    *batch, T = x.shape
+    main = (T // tb) * tb
+    xp = jnp.concatenate([hist, x], axis=-1)  # [..., nh + T]
+    outs = []
+    segments = []
+    if main:
+        segments.append((0, main, tb))
+    if T - main:
+        segments.append((main, T, T - main))
+    for start, end, step in segments:
+        seg = xp[..., start : end + nh]  # [..., L + nh]
+        L = end - start
+        nblk = L // step
+        blocks = seg[..., :L].reshape(*batch, nblk, step)
+        heads_mid = blocks[..., 1:, :nh] if step >= nh else None
+        tail = seg[..., L:][..., None, :]  # [..., 1, nh]
+        if step >= nh:
+            heads = jnp.concatenate([heads_mid, tail], axis=-2)
+        else:
+            # step < nh: heads overlap multiple blocks; fall back to stack
+            heads = jnp.stack(
+                [seg[..., (n + 1) * step : (n + 1) * step + nh]
+                 for n in range(nblk)],
+                axis=-2,
+            )
+        frames = jnp.concatenate([blocks, heads], axis=-1)  # [..., nblk, step+nh]
+        M = jnp.asarray(_block_matrix(taps_np, step))
+        y = jnp.matmul(frames, M, precision=jax.lax.Precision.HIGHEST)
+        outs.append(y.reshape(*batch, factor * L))
+    up = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return up, xp[..., -nh:]
+
+
 def upsample_init(batch_shape=(), hl: int = _HL, dtype=jnp.float32) -> jax.Array:
     return jnp.zeros((*batch_shape, 2 * hl - 1), dtype)
 
@@ -42,21 +108,7 @@ def upsample(
     (up [..., factor*T], new_hist).  Used by the goniometer's optional
     2x/4x/8x oversampling (gui/goniometer.c:155-189, hlen=12).
     """
-    factor, k2 = taps.shape
-    nh = k2 - 1
-    *batch, T = x.shape
-    xp = jnp.concatenate([hist, x], axis=-1)
-    n = int(np.prod(batch)) if batch else 1
-    out = jax.lax.conv_general_dilated(
-        xp.reshape(n, 1, T + nh),
-        taps.reshape(factor, 1, k2),
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    up = jnp.moveaxis(out, 1, 2).reshape(*batch, factor * T)
-    return up, xp[..., -nh:]
+    return _upsample_blocked(x, hist, np.asarray(taps, np.float32))
 
 
 def upsample4_taps(dtype=jnp.float32) -> jax.Array:
@@ -82,21 +134,5 @@ def upsample4(
       (up, new_hist): up [..., 4*T] oversampled stream aligned like the
       reference (up[4t+ph] uses inputs ... x[t]); new_hist [..., 47].
     """
-    if taps is None:
-        taps = upsample4_taps(x.dtype)
-    *batch, T = x.shape
-    xp = jnp.concatenate([hist, x], axis=-1)  # [..., T + 47]
-    n = int(np.prod(batch)) if batch else 1
-    lhs = xp.reshape(n, 1, T + _HIST)
-    rhs = taps.reshape(4, 1, 2 * _HL)
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [n, 4, T]
-    up = jnp.moveaxis(out, 1, 2).reshape(*batch, 4 * T)
-    new_hist = xp[..., -_HIST:]
-    return up, new_hist
+    del taps  # taps are fixed for the 4x true-peak filter
+    return _upsample_blocked(x, hist, upsample4_kernel(_HL).astype(np.float32))

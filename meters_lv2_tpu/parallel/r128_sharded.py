@@ -44,7 +44,7 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
     # ---- K-weighting with sequence-parallel state handoff
     s0 = jnp.zeros((B, C, 4), x.dtype)
     y, _ = lti_apply_sp(meter.sys, x, s0, sp_axis)
-    p = jnp.einsum("bct,c->bt", jnp.square(y), meter.gains)
+    p = jnp.sum(jnp.square(y) * meter.gains[:, None], axis=-2)
 
     # ---- true peak: halo the previous shard's last 47 samples
     tail = x[..., -47:]
