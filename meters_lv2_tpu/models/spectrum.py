@@ -58,7 +58,6 @@ class SpectrumAnalyzer:
             )
         self.bank = lti.BankedLTISystem(systems, dtype)
         self.set_speed(speed)
-        self.smoother_cache: dict[float, lti.LTISystem] = {}
         self.dtype = dtype
 
     def set_speed(self, speed: float):

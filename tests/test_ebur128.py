@@ -107,3 +107,26 @@ def test_r128_batched():
     st1 = jax.jit(m.update)(st1, jnp.asarray(x))
     o1, _ = jax.jit(m.read)(st1)
     np.testing.assert_allclose(lm[0], float(o1["loudness_S"]), rtol=1e-6)
+
+
+def test_r128_441khz():
+    """Non-48k rates: fragm = fs//20 (ebu_r128_proc.cc:166)."""
+    import jax
+
+    fs = 44100
+    secs = 6
+    n = fs * secs
+    t = np.arange(n) / fs
+    x = (10 ** (-23 / 20) * np.sin(2 * np.pi * 997 * t)).astype(np.float32)[None]
+    m = EbuR128Meter(fs, nchan=1)
+    assert m.fragm == 2205
+    st = m.init(())
+    st = jax.jit(m.update)(st, jnp.asarray(x))
+    out, _ = jax.jit(m.read)(st)
+    assert abs(float(out["loudness_S"]) - (-23.0)) < 0.05
+    assert abs(20 * np.log10(float(out["dbtp"])) - (-23.0)) < 0.02
+
+    orc = oracle.EbuR128Oracle(1, fs)
+    orc.process(np.asarray(x))
+    assert abs(float(out["loudness_M"]) - orc.loudness_M) < 0.01
+    assert abs(float(out["loudness_S"]) - orc.loudness_S) < 0.01

@@ -166,3 +166,23 @@ def test_batched_matches_scalar():
         st1 = m.update(st1, jnp.asarray(xs[s]))
         got1, _ = m.read(st1)
         np.testing.assert_allclose(np.asarray(got_b)[s], float(got1), rtol=1e-6)
+
+
+def test_general_upsampler_matches_zita_fixture():
+    """2x/4x/8x hl=12 polyphase (goniometer config) vs the actual zita
+    resampler output captured in tests/fixtures/resample_zita.npz."""
+    import os
+
+    from meters_lv2_tpu.ops import resample
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "resample_zita.npz"
+    )
+    data = np.load(fixture)
+    x = jnp.asarray(data["x"])
+    for factor in (2, 4, 8):
+        taps = resample.upsample_taps(factor, 12)
+        up, _ = resample.upsample(x, resample.upsample_init((2,), 12), taps)
+        np.testing.assert_allclose(
+            np.asarray(up), data[f"up{factor}"], atol=1e-6
+        )

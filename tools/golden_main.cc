@@ -196,6 +196,35 @@ int main(int argc, char** argv) {
         std::printf("]}\n");
       }
     }
+  } else if (meter == "resample") {
+    // zita polyphase upsampler, goniometer config: setup(fs, fs*factor, 2,
+    // hlen, 1.0) with an 8192-zero prefeed (gui/goniometer.c:155-189).
+    // block = oversample factor, read_every = hlen (CLI arg reuse).
+    int factor = block;
+    int hlen = read_every;
+    Resampler src;
+    if (src.setup((unsigned)fs, (unsigned)(fs * factor), 2, hlen, 1.0)) {
+      std::fprintf(stderr, "resampler setup failed\n");
+      return 3;
+    }
+    std::vector<float> zeros(8192 * 2, 0.f);
+    std::vector<float> obuf(8192 * 2 * factor);
+    src.inp_count = 8192;
+    src.inp_data = zeros.data();
+    src.out_count = 8192 * factor;
+    src.out_data = obuf.data();
+    src.process();
+    std::vector<float> out(nfr * factor * 2);
+    src.inp_count = nfr;
+    src.inp_data = inter.data();
+    src.out_count = nfr * factor;
+    src.out_data = out.data();
+    src.process();
+    std::printf("{\"factor\": %d, \"hlen\": %d, \"n\": %ld, \"data\": [", factor,
+                hlen, (long)(nfr * factor * 2));
+    for (long i = 0; i < nfr * factor * 2; ++i)
+      std::printf("%s%.9g", i ? "," : "", out[i]);
+    std::printf("]}\n");
   } else {
     std::fprintf(stderr, "unknown meter %s\n", meter.c_str());
     return 2;
