@@ -23,7 +23,6 @@ path; results are identical.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

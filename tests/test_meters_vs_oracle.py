@@ -186,3 +186,26 @@ def test_general_upsampler_matches_zita_fixture():
         np.testing.assert_allclose(
             np.asarray(up), data[f"up{factor}"], atol=1e-6
         )
+
+
+def test_kmeter_varied_block_sizes():
+    """The peak fall multiplier depends on the block length
+    (kmeterdsp.cc:65-69) — stream with mixed block sizes vs the oracle."""
+    x = _sig(8, kind="burst")
+    m = kmeter.KMeter(FS)
+    st = m.init(())
+    orc = oracle.KMeterOracle(FS)
+    sizes = [512, 2048, 1024, 4096]
+    i = 0
+    k = 0
+    while i + sizes[k % 4] <= len(x):
+        n = sizes[k % 4]
+        blk = x[i : i + n]
+        st = m.update(st, jnp.asarray(blk))
+        orc.process(blk)
+        got, st = m.read(st)
+        rms, peak = orc.read()
+        assert_db_close(float(got["rms"]), rms, 0.01, f"km rms i={i}")
+        assert_db_close(float(got["peak"]), peak, 0.01, f"km peak i={i}")
+        i += n
+        k += 1

@@ -127,3 +127,28 @@ def test_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         float(oa["integrated"]), float(ob["integrated"]), rtol=0
     )
+
+
+def test_cli_json(tmp_path, capsys):
+    import json
+
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    t = np.arange(FS) / FS
+    x = np.stack(
+        [0.25 * np.sin(2 * np.pi * 440 * t), 0.2 * np.sin(2 * np.pi * 880 * t)]
+    ).astype(np.float32)
+    p1 = str(tmp_path / "a.wav")
+    p2 = str(tmp_path / "b.wav")
+    write_wav(p1, x, FS)
+    write_wav(p2, (0.5 * x).astype(np.float32), FS)
+    rc = main([p1, p2, "--meters", "truepeak,k20", "--json",
+               "--chunk-seconds", "0.5"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    tp1 = rows[0]["truepeak"]["peak"][0]
+    tp2 = rows[1]["truepeak"]["peak"][0]
+    np.testing.assert_allclose(tp1, 0.25, rtol=1e-3)
+    np.testing.assert_allclose(tp1 / tp2, 2.0, rtol=1e-3)
