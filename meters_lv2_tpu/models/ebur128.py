@@ -136,7 +136,6 @@ class EbuR128Meter:
         else:
             gains = design.R128_CHAN_GAIN[:nchan]
         self.gains = jnp.asarray(gains, dtype)
-        self.tp_taps = resample.upsample4_taps(dtype)
         self.dtype = dtype
 
     # -- lifecycle ----------------------------------------------------------
@@ -205,7 +204,7 @@ class EbuR128Meter:
         p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
 
         # 2) true peak (oversampled |max|) — src/ebulv2.cc:344-347
-        up, tp_hist = resample.upsample4(x, state.tp_hist, self.tp_taps)
+        up, tp_hist = resample.upsample4(x, state.tp_hist)
         dbtp = jnp.maximum(state.dbtp, jnp.max(jnp.abs(up), axis=(-2, -1)))
 
         # 3) fragment segmentation with carried partial fragment.

@@ -39,7 +39,6 @@ class TruePeakMeter:
     def __init__(self, fs: float, dtype=jnp.float32):
         self.fs = float(fs)
         self.coeffs = design.true_peak_ballistics(fs)
-        self.taps = resample.upsample4_taps(dtype)
         self.dtype = dtype
 
     def init(self, batch_shape=()) -> TruePeakMeterState:
@@ -49,7 +48,7 @@ class TruePeakMeter:
         )
 
     def update(self, state: TruePeakMeterState, x: jax.Array) -> TruePeakMeterState:
-        up, hist = resample.upsample4(x, state.hist, self.taps)
+        up, hist = resample.upsample4(x, state.hist)
         b = bal.true_peak_update(self.coeffs, state.bal, jnp.abs(up))
         return TruePeakMeterState(hist=hist, bal=b)
 
@@ -58,7 +57,7 @@ class TruePeakMeter:
 
         Returns (block_max, new_state) where new_state tracks only hist.
         """
-        up, hist = resample.upsample4(x, state.hist, self.taps)
+        up, hist = resample.upsample4(x, state.hist)
         m = jnp.max(jnp.abs(up), axis=-1)
         return m, dataclasses.replace(state, hist=hist)
 

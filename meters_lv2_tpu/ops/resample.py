@@ -121,9 +121,7 @@ def upsample4_init(batch_shape=(), dtype=jnp.float32) -> jax.Array:
     return jnp.zeros((*batch_shape, _HIST), dtype)
 
 
-def upsample4(
-    x: jax.Array, hist: jax.Array, taps: jax.Array | None = None
-) -> tuple[jax.Array, jax.Array]:
+def upsample4(x: jax.Array, hist: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Upsample a block 4x.
 
     Args:
@@ -134,5 +132,4 @@ def upsample4(
       (up, new_hist): up [..., 4*T] oversampled stream aligned like the
       reference (up[4t+ph] uses inputs ... x[t]); new_hist [..., 47].
     """
-    del taps  # taps are fixed for the 4x true-peak filter
     return _upsample_blocked(x, hist, upsample4_kernel(_HL).astype(np.float32))

@@ -52,7 +52,7 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
         tail, sp_axis, [(i, i + 1) for i in range(nsp - 1)]
     )
     halo = jnp.where(k == 0, jnp.zeros_like(halo), halo)
-    up, _ = resample.upsample4(x, halo, meter.tp_taps)
+    up, _ = resample.upsample4(x, halo)
     dbtp = jax.lax.pmax(jnp.max(jnp.abs(up), axis=(-2, -1)), sp_axis)
 
     # ---- fragment powers + windowed loudness with 59-fragment halo
