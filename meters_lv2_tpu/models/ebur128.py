@@ -290,44 +290,51 @@ class EbuR128Meter:
 
         # 6) radar history: per-interval max of fragment-rate loudness
         # (src/ebulv2.cc:390-421; the reference samples at block rate, we
-        # sample at the finer fragment rate)
+        # sample at the finer fragment rate).  Fully vectorized: the wrapped
+        # interval counter is recovered from the cumulative sample count —
+        # fires at fragment j iff floor((S_j - 1)/spd) increments, so fire
+        # events, segmented maxes and ring writes are all masked reductions
+        # (a 42-step sequential scan here cost half the update time).
+        spd = self.radar_spd
         adv = jnp.where(slot == 0, fragm - off[..., None], fragm)
-        ring_iota = jnp.arange(RADAR_POINTS, dtype=jnp.int32)
+        advm = jnp.where(valid, jnp.broadcast_to(adv, valid.shape), 0)
+        S = state.radar_spd_cur[..., None] + jnp.cumsum(advm, -1)
+        nf = jnp.maximum((S - 1) // spd, 0)  # fires up to & incl fragment j
+        contrib = jnp.concatenate(
+            [jnp.zeros_like(nf[..., :1]), nf[..., :-1]], -1
+        )  # event id each fragment's loudness feeds
+        total = nf[..., -1]  # fires this update
 
-        def radar_step(carry, inp):
-            rm, rs, pos, cm, cs, spd = carry
-            lm_s, ls_s, adv_s, valid_s = inp
-            cm = jnp.where(valid_s, jnp.maximum(cm, lm_s), cm)
-            cs = jnp.where(valid_s, jnp.maximum(cs, ls_s), cs)
-            spd = spd + jnp.where(valid_s, adv_s, 0)
-            fire = valid_s & (spd > self.radar_spd)
-            oh = ring_iota == pos[..., None]
-            sel = oh & fire[..., None]
-            rm = jnp.where(sel, cm[..., None], rm)
-            rs = jnp.where(sel, cs[..., None], rs)
-            pos = jnp.where(fire, (pos + 1) % RADAR_POINTS, pos)
-            spd = jnp.where(fire, spd % self.radar_spd, spd)
-            cm = jnp.where(fire, -jnp.inf, cm)
-            cs = jnp.where(fire, -jnp.inf, cs)
-            return (rm, rs, pos, cm, cs, spd), None
+        ev = jnp.arange(n_slots, dtype=jnp.int32)
+        sel = valid[..., None, :] & (contrib[..., None, :] == ev[:, None])
+        vml = jnp.max(jnp.where(sel, lm[..., None, :], -jnp.inf), -1)
+        vms = jnp.max(jnp.where(sel, ls[..., None, :], -jnp.inf), -1)
+        # the carried running max feeds event 0
+        vml = vml.at[..., 0].set(jnp.maximum(vml[..., 0], state.radar_cur_m))
+        vms = vms.at[..., 0].set(jnp.maximum(vms[..., 0], state.radar_cur_s))
 
-        inp = (
-            jnp.moveaxis(lm, -1, 0),
-            jnp.moveaxis(ls, -1, 0),
-            jnp.moveaxis(jnp.broadcast_to(adv, valid.shape), -1, 0),
-            jnp.moveaxis(valid, -1, 0),
-        )
-        (radar_m, radar_s, radar_pos, rcm, rcs, rspd), _ = jax.lax.scan(
-            radar_step,
-            (
-                state.radar_m, state.radar_s, state.radar_pos,
-                state.radar_cur_m, state.radar_cur_s,
-                state.radar_spd_cur + jnp.zeros_like(ncomp),
-            ),
-            inp,
-        )
+        ev_fired = ev < total[..., None]
+        ppos = (state.radar_pos[..., None] + ev) % RADAR_POINTS
+        oh = (
+            jnp.arange(RADAR_POINTS, dtype=jnp.int32) == ppos[..., None]
+        ) & ev_fired[..., None]  # [..., E, 360]; positions are distinct
+        wrote = jnp.any(oh, -2)
+        val_m = jnp.max(jnp.where(oh, vml[..., None], -jnp.inf), -2)
+        val_s = jnp.max(jnp.where(oh, vms[..., None], -jnp.inf), -2)
+        radar_m = jnp.where(wrote, val_m, state.radar_m)
+        radar_s = jnp.where(wrote, val_s, state.radar_s)
+        radar_pos = (state.radar_pos + total) % RADAR_POINTS
+
+        # open (unfired) group becomes the new running max
+        open_sel = valid & (contrib == total[..., None])
+        rcm = jnp.max(jnp.where(open_sel, lm, -jnp.inf), -1)
+        rcs = jnp.max(jnp.where(open_sel, ls, -jnp.inf), -1)
+        keep_carry = total == 0
+        rcm = jnp.maximum(rcm, jnp.where(keep_carry, state.radar_cur_m, -jnp.inf))
+        rcs = jnp.maximum(rcs, jnp.where(keep_carry, state.radar_cur_s, -jnp.inf))
+
         off_new = (off + T) % fragm
-        rspd = rspd + jnp.where(ncomp > 0, off_new, T)
+        rspd = S[..., -1] - spd * total + jnp.where(ncomp > 0, off_new, T)
 
         n_int = jnp.where(state.integrating, ncomp, 0)
         return EbuR128State(
