@@ -273,16 +273,16 @@ class EbuR128Meter:
         s_pt = valid & integ & (((state.div2[..., None] + slot) % 10) == 9)
 
         def scatter(hist, vals, mask):
+            # one-hot accumulation: XLA lowers traced-index scatter-add to a
+            # sequential while loop on TPU; a masked [_, n_slots, 751]
+            # reduction is pure VPU work
             k = jnp.floor(10.0 * vals + 700.5).astype(jnp.int32)
             ok = mask & (k >= 0)
             k = jnp.clip(k, 0, HIST_BINS - 1)
-            if k.ndim > 1:
-                bidx = tuple(
-                    a[..., None] for a in jnp.indices(k.shape[:-1], sparse=True)
-                )
-                hist = hist.at[(*bidx, k)].add(ok.astype(jnp.int32))
-            else:
-                hist = hist.at[k].add(ok.astype(jnp.int32))
+            onehot = (
+                k[..., None] == jnp.arange(HIST_BINS, dtype=jnp.int32)
+            ) & ok[..., None]
+            hist = hist + onehot.astype(jnp.int32).sum(-2)
             return hist, ok.sum(-1, dtype=jnp.int32)
 
         hist_m, dcm = scatter(state.hist_m, lm, m_pt)

@@ -97,14 +97,14 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
     s_pt = (ai % 10) == 9
 
     def scatter(vals, mask):
+        # one-hot accumulation (scatter-add lowers to a while loop on TPU)
         kk = jnp.floor(10.0 * vals + 700.5).astype(jnp.int32)
         ok = mask & (kk >= 0)
         kk = jnp.clip(kk, 0, HIST_BINS - 1)
-        bidx = jnp.arange(B)[:, None]
-        hist = jnp.zeros((B, HIST_BINS), jnp.int32).at[bidx, kk].add(
-            ok.astype(jnp.int32)
-        )
-        return hist, ok.sum(-1, dtype=jnp.int32)
+        onehot = (
+            kk[..., None] == jnp.arange(HIST_BINS, dtype=jnp.int32)
+        ) & ok[..., None]
+        return onehot.astype(jnp.int32).sum(-2), ok.sum(-1, dtype=jnp.int32)
 
     hist_m, cm = scatter(lm, m_pt)
     hist_s, cs = scatter(ls, s_pt)

@@ -152,3 +152,34 @@ def test_cli_json(tmp_path, capsys):
     tp2 = rows[1]["truepeak"]["peak"][0]
     np.testing.assert_allclose(tp1, 0.25, rtol=1e-3)
     np.testing.assert_allclose(tp1 / tp2, 2.0, rtol=1e-3)
+
+
+def test_pipeline_mono_and_mix_modes():
+    from meters_lv2_tpu.models.bitmeter import BitMeter
+    from meters_lv2_tpu.models.sigdist import SigDistMeter
+    from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+    from meters_lv2_tpu.parallel.pipeline import MeterPipeline
+
+    t = np.arange(FS) / FS
+    x = np.stack(
+        [0.3 * np.sin(2 * np.pi * 1000 * t), 0.3 * np.sin(2 * np.pi * 1000 * t)]
+    ).astype(np.float32)
+    pipe = MeterPipeline(
+        {
+            "spectrum": SpectrumAnalyzer(FS),
+            "sigdist": SigDistMeter(FS),
+            "bitmeter": BitMeter(FS),
+        }
+    )
+
+    @jax.jit
+    def run(x):
+        st = pipe.init(())
+        st = pipe.update(st, x)
+        return pipe.read(st)
+
+    outs, _ = run(jnp.asarray(x))
+    bands = np.asarray(outs["spectrum"]["bands"])
+    assert bands.argmax() == 16  # 1 kHz band
+    assert int(outs["sigdist"]["integration_time"]) == FS
+    assert float(outs["bitmeter"]["zero"]) == 1  # t=0 sample is exactly 0
