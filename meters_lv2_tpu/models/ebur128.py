@@ -97,23 +97,15 @@ RADAR_POINTS = 360
 def _roll_right(a: jax.Array, off: jax.Array) -> jax.Array:
     """Roll last axis right by (traced, per-batch-element) off samples.
 
-    Implemented as dynamic_slice on a doubled buffer, vmapped over the
-    batch, so XLA lowers it to a cheap shifted window load rather than a
-    general scatter.
+    One modular gather along the last axis.  (A vmapped dynamic_slice looks
+    cheaper but XLA lowers it to a sequential while loop over the batch on
+    TPU — measured ~3 ms per R128 update at B=128.)
     """
     L = a.shape[-1]
-
-    def roll1(v, o):
-        return jax.lax.dynamic_slice(
-            jnp.concatenate([v, v]), (L - o,), (L,)
-        )
-
+    idx = (jnp.arange(L, dtype=jnp.int32) - off[..., None]) % L
     if a.ndim == 1:
-        return roll1(a, off)
-    batch = a.shape[:-1]
-    flat = a.reshape(-1, L)
-    out = jax.vmap(roll1)(flat, off.reshape(-1))
-    return out.reshape(*batch, L)
+        return a[idx]
+    return jnp.take_along_axis(a, jnp.broadcast_to(idx, a.shape), axis=-1)
 
 
 @register("EBUr128")

@@ -183,3 +183,44 @@ def test_pipeline_mono_and_mix_modes():
     assert bands.argmax() == 16  # 1 kHz band
     assert int(outs["sigdist"]["integration_time"]) == FS
     assert float(outs["bitmeter"]["zero"]) == 1  # t=0 sample is exactly 0
+
+
+def test_pipeline_gspmd_batch_sharding():
+    """The full meter pipeline partitions over a batch-sharded mesh via
+    GSPMD — no code changes, identical results to unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from meters_lv2_tpu.models import kmeter, needle, truepeak
+    from meters_lv2_tpu.parallel import make_mesh
+    from meters_lv2_tpu.parallel.pipeline import MeterPipeline
+
+    mesh = make_mesh(dp=8, sp=1)
+    B = 16
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal((B, 2, FS))).astype(np.float32)
+    pipe = MeterPipeline(
+        {
+            "vu": needle.VUMeter(FS),
+            "tp": truepeak.TruePeakMeter(FS),
+            "k20": kmeter.K20Meter(FS),
+        }
+    )
+
+    def run(x):
+        st = pipe.init((B,))
+        st = pipe.update(st, x)
+        return pipe.read(st)[0]
+
+    ref = jax.jit(run)(jnp.asarray(x))
+    xs = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("dp", None, None))
+    )
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        out = jax.jit(run)(xs)
+    for k in ("vu",):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["tp"]["peak"]), np.asarray(ref["tp"]["peak"]), rtol=1e-6
+    )
