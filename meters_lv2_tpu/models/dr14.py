@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import hist as hist_ops
+from ..ops import segment
 from .base import register
-from .ebur128 import _roll_right
 from .kmeter import KMeter, KMeterState
 from .truepeak import TruePeakMeter, TruePeakMeterState
 
@@ -100,16 +100,13 @@ class DR14Meter:
 
         win = self.win
         n_slots = T // win + 2
-        L = n_slots * win
         sq = jnp.square(x)
-        pad = jnp.zeros((*batch, C, L - T), x.dtype)
         off_bc = jnp.broadcast_to(state.scnt[..., None], (*batch, C))
-        sq_p = _roll_right(jnp.concatenate([sq, pad], -1), off_bc)
-        x_p = _roll_right(jnp.concatenate([x, pad], -1), off_bc)
-        seg_sum = sq_p.reshape(*batch, C, n_slots, win).sum(-1)
+        seg_sum = segment.shifted_segments(sq, off_bc, win, n_slots, "sum")
         # reference tracks peak_cur = MAX(peak_cur, v) of the SIGNED sample
-        # (dr14.c:404) — positive peaks only, floor 0
-        seg_peak = jnp.maximum(x_p.reshape(*batch, C, n_slots, win).max(-1), 0.0)
+        # (dr14.c:404) — positive peaks only, floor 0 (the 'max' reduce's
+        # identity)
+        seg_peak = segment.shifted_segments(x, off_bc, win, n_slots, "max")
         seg_sum = seg_sum.at[..., 0].add(state.rms_sum)
 
         ncomp = (state.scnt + T) // win  # completed windows

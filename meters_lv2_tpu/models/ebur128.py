@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import design, lti, resample
+from ..ops import design, lti, resample, segment
 from .base import register
 
 HIST_BINS = 751
@@ -92,20 +92,6 @@ jax.tree_util.register_dataclass(
 )
 
 RADAR_POINTS = 360
-
-
-def _roll_right(a: jax.Array, off: jax.Array) -> jax.Array:
-    """Roll last axis right by (traced, per-batch-element) off samples.
-
-    One modular gather along the last axis.  (A vmapped dynamic_slice looks
-    cheaper but XLA lowers it to a sequential while loop over the batch on
-    TPU — measured ~3 ms per R128 update at B=128.)
-    """
-    L = a.shape[-1]
-    idx = (jnp.arange(L, dtype=jnp.int32) - off[..., None]) % L
-    if a.ndim == 1:
-        return a[idx]
-    return jnp.take_along_axis(a, jnp.broadcast_to(idx, a.shape), axis=-1)
 
 
 @register("EBUr128")
@@ -199,18 +185,11 @@ class EbuR128Meter:
         up, tp_hist = resample.upsample4(x, state.tp_hist)
         dbtp = jnp.maximum(state.dbtp, jnp.max(jnp.abs(up), axis=(-2, -1)))
 
-        # 3) fragment segmentation with carried partial fragment.
-        # Shift the block right by `off` into fragment-aligned position, then
-        # an exact aligned reshape-sum gives per-slot powers (better f32
-        # summation order than the reference's sequential adds).
+        # 3) fragment segmentation with carried partial fragment
+        # (two-level shifted segment reduce, ops/segment.py)
         off = state.off  # [...] samples already in the open fragment
         n_slots = T // fragm + 2
-        L = n_slots * fragm
-        p_pad = jnp.concatenate(
-            [p, jnp.zeros((*batch, L - T), p.dtype)], axis=-1
-        )
-        p_shift = _roll_right(p_pad, off)  # [..., L]
-        seg = p_shift.reshape(*batch, n_slots, fragm).sum(-1)  # [..., n_slots]
+        seg = segment.shifted_segments(p, off, fragm, n_slots, "sum")
         seg = seg.at[..., 0].add(state.frpwr - 1e-30)  # continue open fragment
         seg = seg + 1e-30  # frpwr seed per fragment (ebu_r128_proc.cc:216)
 

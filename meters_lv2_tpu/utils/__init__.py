@@ -1,1 +1,1 @@
-from . import db, render, state  # noqa: F401
+from . import db, render, state, transport  # noqa: F401

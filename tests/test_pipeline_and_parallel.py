@@ -224,3 +224,21 @@ def test_pipeline_gspmd_batch_sharding():
     np.testing.assert_allclose(
         np.asarray(out["tp"]["peak"]), np.asarray(ref["tp"]["peak"]), rtol=1e-6
     )
+
+
+def test_transport_follow():
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.utils import transport
+
+    m = EbuR128Meter(FS, nchan=2)
+    st = m.init(())
+    x = make_signal("mix", 2.0)
+    mode = transport.FOLLOW_START_STOP | transport.FOLLOW_AUTO_RESET
+    # transport stops -> integration pauses (no new histogram points)
+    st = transport.follow(m, st, rolling=False, was_rolling=True, mode=mode)
+    st = jax.jit(m.update)(st, jnp.asarray(x))
+    assert int(st.count_m) == 0
+    # transport starts -> reset + integrate
+    st = transport.follow(m, st, rolling=True, was_rolling=False, mode=mode)
+    st = jax.jit(m.update)(st, jnp.asarray(x))
+    assert int(st.count_m) > 0
