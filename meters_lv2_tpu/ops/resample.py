@@ -89,7 +89,9 @@ def _upsample_blocked(
             )
         frames = jnp.concatenate([blocks, heads], axis=-1)  # [..., nblk, step+nh]
         M = jnp.asarray(_block_matrix(taps_np, step))
-        y = jnp.matmul(frames, M, precision=jax.lax.Precision.HIGHEST)
+        from .lti import _HIGH
+
+        y = jnp.matmul(frames, M, precision=_HIGH)
         outs.append(y.reshape(*batch, factor * L))
     up = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     return up, xp[..., -nh:]
