@@ -33,14 +33,15 @@ import numpy as np
 
 import os as _os
 
-# Matmul precision for the recurrence GEMMs.  HIGHEST (6-pass bf16) is the
-# conservative default; HIGH (3-pass) has ~1e-7 relative error — far below
-# the ±0.01 dB parity budget — and saves ~half the MXU time.  Override with
-# METERS_TPU_PRECISION=high|highest.
+# Matmul precision for the recurrence GEMMs.  HIGH (3-pass bf16) is the
+# default: tools/tpu_parity_check.py measures worst-case 0.0043 dB vs the
+# C reference with bin-exact gating histograms (budget 0.01 dB), at ~2x the
+# MXU throughput of HIGHEST (6-pass).  Override with
+# METERS_TPU_PRECISION=highest for the conservative mode.
 _HIGH = (
-    jax.lax.Precision.HIGH
-    if _os.environ.get("METERS_TPU_PRECISION", "highest") == "high"
-    else jax.lax.Precision.HIGHEST
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("METERS_TPU_PRECISION", "high") == "highest"
+    else jax.lax.Precision.HIGH
 )
 
 

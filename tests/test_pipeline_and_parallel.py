@@ -242,3 +242,23 @@ def test_transport_follow():
     st = transport.follow(m, st, rolling=True, was_rolling=False, mode=mode)
     st = jax.jit(m.update)(st, jnp.asarray(x))
     assert int(st.count_m) > 0
+
+
+def test_cli_all_meters(tmp_path, capsys):
+    """Every CLI meter choice runs in one fused pipeline."""
+    import json
+
+    from meters_lv2_tpu.__main__ import METER_CHOICES, main
+    from meters_lv2_tpu.io import write_wav
+
+    t = np.arange(FS // 2) / FS
+    x = np.stack(
+        [0.25 * np.sin(2 * np.pi * 440 * t), 0.2 * np.sin(2 * np.pi * 880 * t)]
+    ).astype(np.float32)
+    p1 = str(tmp_path / "a.wav")
+    write_wav(p1, x, FS)
+    rc = main([p1, "--meters", ",".join(METER_CHOICES), "--json",
+               "--chunk-seconds", "0.25"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert set(METER_CHOICES) <= set(rows[0].keys())
