@@ -181,9 +181,11 @@ class EbuR128Meter:
         y, z = self.sys.apply(x, state.z)  # [..., C, T]
         p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
 
-        # 2) true peak (oversampled |max|) — src/ebulv2.cc:344-347
-        up, tp_hist = resample.upsample4(x, state.tp_hist)
-        dbtp = jnp.maximum(state.dbtp, jnp.max(jnp.abs(up), axis=(-2, -1)))
+        # 2) true peak (oversampled |max|) — src/ebulv2.cc:344-347; fused
+        # reduce on the upsampler GEMM outputs (the 4T stream is never
+        # materialized)
+        upmax, tp_hist = resample.upsample4_absmax(x, state.tp_hist)
+        dbtp = jnp.maximum(state.dbtp, jnp.max(upmax, axis=-1))
 
         # 3) fragment segmentation with carried partial fragment
         # (two-level shifted segment reduce, ops/segment.py)

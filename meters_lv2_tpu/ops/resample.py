@@ -123,6 +123,51 @@ def upsample4_init(batch_shape=(), dtype=jnp.float32) -> jax.Array:
     return jnp.zeros((*batch_shape, _HIST), dtype)
 
 
+def upsample4_absmax(
+    x: jax.Array, hist: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """max |4x-oversampled stream| over the block, without materializing it.
+
+    The reduce happens directly on each block-GEMM output (the layout ops
+    of assembling the full 4T stream would force an HBM round trip of 16
+    bytes/sample).  Exactly TruePeakdsp::process_max (truepeakdsp.cc:109-131)
+    over one block.  Returns (absmax [...], new_hist).
+    """
+    taps_np = upsample4_kernel(_HL).astype(np.float32)
+    factor, K = taps_np.shape
+    nh = K - 1
+    *batch, T = x.shape
+    tb = 128
+    main = (T // tb) * tb
+    xp = jnp.concatenate([hist, x], axis=-1)
+    from .lti import _HIGH
+
+    best = jnp.zeros((*batch,), x.dtype)
+    segments = []
+    if main:
+        segments.append((0, main, tb))
+    if T - main:
+        segments.append((main, T, T - main))
+    for start, end, step in segments:
+        seg = xp[..., start : end + nh]
+        L = end - start
+        nblk = L // step
+        blocks = seg[..., :L].reshape(*batch, nblk, step)
+        tail = seg[..., L:][..., None, :]
+        if step >= nh:
+            heads = jnp.concatenate([blocks[..., 1:, :nh], tail], axis=-2)
+        else:
+            heads = jnp.stack(
+                [seg[..., (n + 1) * step : (n + 1) * step + nh]
+                 for n in range(nblk)], axis=-2,
+            )
+        frames = jnp.concatenate([blocks, heads], axis=-1)
+        M = jnp.asarray(_block_matrix(taps_np, step))
+        y = jnp.matmul(frames, M, precision=_HIGH)
+        best = jnp.maximum(best, jnp.max(jnp.abs(y), axis=(-2, -1)))
+    return best, xp[..., -nh:]
+
+
 def upsample4(x: jax.Array, hist: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Upsample a block 4x.
 

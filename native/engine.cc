@@ -81,6 +81,73 @@ struct CorState {
   float zl = 0, zr = 0, zlr = 0, zll = 0, zrr = 0;
 };
 
+// 30-band IEC 61260 1/3-octave bank: 6 biquad stages per band, coefficients
+// from a double-precision bilinear band-pass design (same formulas as the
+// python host design in ops/design.py).
+struct SpectrumBand {
+  double a1[6], a2[6], b0[6], b1[6], b2[6];
+  double z1[6] = {0}, z2[6] = {0};
+  float val = 0, peak = 0;
+};
+
+struct SpectrumState {
+  SpectrumBand band[30];
+  float omega = 0;
+};
+
+static void design_band(SpectrumBand* bd, double rate, double freq,
+                        double band) {
+  const int order = 6;
+  double wc = 2.0 * M_PI * freq / rate;
+  double ww = 2.0 * M_PI * band / rate;
+  double wl = wc - ww / 2.0, wu = wc + ww / 2.0;
+  if (wu > M_PI - 1e-9) wu = M_PI - 1e-9;
+  if (wl < 1e-9) wl = 1e-9;
+  wu *= 0.5;
+  wl *= 0.5;
+  const double c_a = std::cos(wu + wl) / std::cos(wu - wl);
+  const double c_b = 1.0 / std::tan(wu - wl);
+  const double w = 2.0 * std::atan(std::sqrt(std::tan(wu) * std::tan(wl)));
+  const double c_a2 = c_a * c_a, c_b2 = c_b * c_b, ab_2 = 2.0 * c_a * c_b;
+  typedef std::complex<double> cplx;
+  for (int i = 0; i < order / 2; ++i) {
+    double omega = M_PI / 2.0 + (2 * i + 1) * M_PI / (2.0 * order);
+    cplx p(std::cos(omega), std::sin(omega));
+    cplx c = (1.0 + p) / (1.0 - p);
+    cplx dd = 2.0 * (c_b - 1.0) * c + 2.0 * (1.0 + c_b);
+    cplx v = (4.0 * (c_b2 * (c_a2 - 1.0) + 1.0)) * c;
+    v += 8.0 * (c_b2 * (c_a2 - 1.0) - 1.0);
+    v *= c;
+    v += 4.0 * (c_b2 * (c_a2 - 1.0) + 1.0);
+    v = std::sqrt(v);
+    cplx u0 = cplx(ab_2 - v.real() + ab_2 * c.real(),
+                   -v.imag() + ab_2 * c.imag());
+    cplx u1 = cplx(ab_2 + v.real() + ab_2 * c.real(),
+                   v.imag() + ab_2 * c.imag());
+    cplx pcs[2] = {u0 / dd, u1 / dd};
+    for (int k = 0; k < 2; ++k) {
+      int s = 2 * i + k;
+      bd->a1[s] = -2.0 * pcs[k].real();
+      bd->a2[s] = pcs[k].real() * pcs[k].real() + pcs[k].imag() * pcs[k].imag();
+      bd->b0[s] = 1.0;
+      bd->b1[s] = k ? -2.0 : 2.0;
+      bd->b2[s] = 1.0;
+    }
+  }
+  const double cw = std::cos(-w), sw = std::sin(-w);
+  const double cw2 = std::cos(-2.0 * w), sw2 = std::sin(-2.0 * w);
+  cplx ch(1, 0), cb(1, 0);
+  for (int s = 0; s < order; ++s) {
+    ch *= cplx((1 + bd->b1[s] * cw) + cw2, bd->b1[s] * sw + sw2);
+    cb *= cplx((1 + bd->a1[s] * cw) + bd->a2[s] * cw2,
+               bd->a1[s] * sw + bd->a2[s] * sw2);
+  }
+  double scale = (cb / ch).real();
+  bd->b0[0] *= scale;
+  bd->b1[0] *= scale;
+  bd->b2[0] *= scale;
+}
+
 }  // namespace
 
 struct mt_engine {

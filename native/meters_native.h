@@ -43,6 +43,7 @@ typedef enum {
   MT_TRUEPEAK = 4,    /* 4x oversampled */
   MT_STCORR = 5,      /* stereo phase correlation */
   MT_R128 = 6,        /* EBU R128 loudness */
+  MT_SPECTRUM = 7,    /* 30-band 1/3-octave analyzer */
 } mt_meter_kind;
 
 typedef struct mt_engine mt_engine;
@@ -60,6 +61,7 @@ int mt_engine_process(mt_engine* e, const float* data, int64_t nframes);
  *  TRUEPEAK:     2*nchan (ballistic level, raw oversampled peak)
  *  STCORR:       1 (correlation)
  *  R128:         8 (M, S, maxM, maxS, I, LRAmin, LRAmax, dBTP)
+ *  SPECTRUM:     60 (30 band dB + 30 peak-hold dB)
  * Returns the number of values written, or negative on error. */
 int mt_engine_read(mt_engine* e, double* out, int maxn);
 
