@@ -23,6 +23,7 @@ METER_KINDS = {
     "truepeak": 4,
     "stcorr": 5,
     "r128": 6,
+    "spectrum": 7,
 }
 
 _lib = None
@@ -147,9 +148,9 @@ class NativeEngine:
             raise RuntimeError(f"process failed: {rc}")
 
     def read(self) -> np.ndarray:
-        out = np.zeros(16, np.float64)
+        out = np.zeros(64, np.float64)
         n = self._lib.mt_engine_read(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), 16
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), 64
         )
         if n < 0:
             raise RuntimeError(f"read failed: {n}")

@@ -10,6 +10,7 @@
 #include "meters_native.h"
 
 #include <cmath>
+#include <complex>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -162,6 +163,7 @@ struct mt_engine {
   std::vector<ChanState> ch;
   R128Shared r128;
   CorState cor;
+  SpectrumState spec;
 };
 
 static void design_kweight(mt_engine* e) {
@@ -222,6 +224,16 @@ extern "C" mt_engine* mt_engine_create(int kind, float fs, int nchan) {
       e->w1 = 6.28f * 2000.f / fs;
       e->w2 = 1.f / (0.3f * fs);
       break;
+    case MT_SPECTRUM: {
+      e->spec.omega = 1.0f - std::exp(-2.0 * M_PI * 1.0 / fs);
+      const double f1f = std::pow(2.0, -1.0 / 6.0);
+      const double f2f = std::pow(2.0, 1.0 / 6.0);
+      for (int i = 0; i < 30; ++i) {
+        const double f_m = std::pow(2.0, (i - 16) / 3.0) * 1000.0;
+        design_band(&e->spec.band[i], fs, f_m, f_m * f2f - f_m * f1f);
+      }
+      break;
+    }
     case MT_R128:
       design_kweight(e);
       e->r128.fragm = (int)fs / 20;
@@ -483,6 +495,30 @@ extern "C" int mt_engine_process(mt_engine* e, const float* data, int64_t n) {
       proc_stcorr(e, data, n);
       return 0;
     case MT_R128: proc_r128(e, data, n); return 0;
+    case MT_SPECTRUM: {
+      SpectrumState& sp = e->spec;
+      const float* L = data;
+      const float* R = e->nchan == 2 ? data + n : nullptr;
+      for (int64_t t = 0; t < n; ++t) {
+        double in = R ? 0.5 * (L[t] + R[t]) : L[t];
+        for (int i = 0; i < 30; ++i) {
+          SpectrumBand& bd = sp.band[i];
+          double v = in;
+          for (int s = 0; s < 6; ++s) {
+            double y = bd.b0[s] * v + bd.z1[s];
+            bd.z1[s] = bd.b1[s] * v - bd.a1[s] * y + bd.z2[s];
+            bd.z2[s] = bd.b2[s] * v - bd.a2[s] * y;
+            v = y;
+          }
+          float sq = (float)(v * v);
+          bd.val += sp.omega * (sq - bd.val);
+          if (bd.val > bd.peak) bd.peak = bd.val;
+        }
+      }
+      for (int i = 0; i < 30; ++i)
+        if (!std::isfinite(sp.band[i].val)) sp.band[i].val = 0;
+      return 0;
+    }
   }
   return -3;
 }
@@ -522,6 +558,16 @@ extern "C" int mt_engine_read(mt_engine* e, double* out, int maxn) {
       if (maxn < 1) return -2;
       out[0] = e->cor.zlr / std::sqrt(e->cor.zll * e->cor.zrr + 1e-10f);
       return 1;
+    }
+    case MT_SPECTRUM: {
+      if (maxn < 60) return -2;
+      for (int i = 0; i < 30; ++i) {
+        float vs = std::sqrt(2.f * e->spec.band[i].val);
+        float mx = std::sqrt(2.f * e->spec.band[i].peak);
+        out[i] = vs > 1e-5f ? 20.0 * std::log10(vs) : -100.0;
+        out[30 + i] = mx > 1e-5f ? 20.0 * std::log10(mx) : -100.0;
+      }
+      return 60;
     }
     case MT_R128: {
       if (maxn < 8) return -2;

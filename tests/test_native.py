@@ -92,3 +92,20 @@ def test_native_r128_close_to_jax():
     ):
         assert abs(float(out[key]) - nv[i]) < 0.01, (key, float(out[key]), nv[i])
     assert abs(float(out["dbtp"]) - nv[7]) < 1e-4
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_spectrum_matches_jax():
+    from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+
+    rng = np.random.default_rng(2)
+    x = (0.3 * rng.standard_normal((2, FS))).astype(np.float32)
+    eng = native.NativeEngine("spectrum", FS, 2)
+    eng.process(x)
+    nv = eng.read()
+    m = SpectrumAnalyzer(FS)
+    st = m.init(())
+    st = jax.jit(lambda s, xb: m.update(s, xb, stereo=True))(st, jnp.asarray(x))
+    out, _ = m.read(st)
+    np.testing.assert_allclose(np.asarray(out["bands"]), nv[:30], atol=0.01)
+    np.testing.assert_allclose(np.asarray(out["peaks"]), nv[30:], atol=0.01)
