@@ -5,35 +5,18 @@ DR-14's 3 s windows) that are NOT aligned to the caller's block boundaries:
 the block must be placed at a traced per-stream sample offset before an
 aligned reshape-reduce.
 
-Measured lowerings for the shift on TPU v5e (B=128, T=96k):
-  * vmapped dynamic_slice on a doubled buffer — XLA emits a while loop over
-    the batch, but each iteration is one contiguous copy: fastest overall.
-  * modular take_along_axis gather — catastrophic (20x slower; minor-dim
-    gather at ~100k elements).
-  * two-level masked subchunk reduce — pure VPU but the g=60-lane layout
-    pads to 128 lanes and loses to the copy loop.
-So: vmapped dynamic_slice it is.
+Measured lowerings for the shift on TPU v5e (B=128, T=96k), slowest first:
+  * modular take_along_axis gather: catastrophic (minor-dim gather, ~20x).
+  * two-level masked subchunk reduce at g=60: non-128 lane rows pad badly.
+  * vmapped dynamic_slice on a doubled buffer: while-of-copies, ~3.2 ms.
+  * (kept) masked head/tail reductions at g = seg_len: the shift becomes a
+    STATIC one-row offset — no data movement, well-shaped 2400-lane rows.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-
-def roll_right(a: jax.Array, off: jax.Array) -> jax.Array:
-    """Roll last axis right by traced per-batch-element off samples
-    (dynamic_slice on a doubled buffer, vmapped over the batch)."""
-    L = a.shape[-1]
-
-    def roll1(v, o):
-        return jax.lax.dynamic_slice(jnp.concatenate([v, v]), (L - o,), (L,))
-
-    if a.ndim == 1:
-        return roll1(a, off)
-    batch = a.shape[:-1]
-    out = jax.vmap(roll1)(a.reshape(-1, L), off.reshape(-1))
-    return out.reshape(*batch, L)
 
 
 def shifted_segments(
@@ -44,6 +27,12 @@ def shifted_segments(
     reduce: str = "sum",
 ) -> jax.Array:
     """Segment-reduce p placed at sample offset `off` on a seg_len grid.
+
+    No data movement at all: shifted segment f spans the tail (`off`
+    samples) of unshifted row f-1 plus the head of row f, so two masked
+    reductions over the [n_slots, seg_len] view plus a static one-row shift
+    give the result.  (Dynamic shifting was 0.5-20x slower in every
+    lowering tried — see the module docstring.)
 
     Args:
       p: [..., T] values (T <= n_slots*seg_len - off guaranteed by caller
@@ -58,8 +47,15 @@ def shifted_segments(
     *batch, T = p.shape
     L = n_slots * seg_len
     pad = jnp.zeros((*batch, L - T), p.dtype)
-    ps = roll_right(jnp.concatenate([p, pad], -1), off)
-    seg = ps.reshape(*batch, n_slots, seg_len)
+    rows = jnp.concatenate([p, pad], -1).reshape(*batch, n_slots, seg_len)
+    w = jnp.arange(seg_len, dtype=jnp.int32)
+    head = w < (seg_len - off[..., None, None])  # [..., 1, seg_len]
     if reduce == "sum":
-        return jnp.sum(seg, -1)
-    return jnp.maximum(jnp.max(seg, -1), 0.0)
+        a = jnp.sum(jnp.where(head, rows, 0.0), -1)
+        b = jnp.sum(jnp.where(head, 0.0, rows), -1)
+        return a + jnp.concatenate([jnp.zeros_like(b[..., :1]), b[..., :-1]], -1)
+    a = jnp.max(jnp.where(head, rows, 0.0), -1)
+    b = jnp.max(jnp.where(head, 0.0, rows), -1)
+    return jnp.maximum(
+        a, jnp.concatenate([jnp.zeros_like(b[..., :1]), b[..., :-1]], -1)
+    )
