@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import design, lti
-from .base import register, ref_level_gain
+from .base import register
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,7 @@ recurrence → batched scan (ops.ballistics).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp
