@@ -27,9 +27,9 @@ def main():
     from meters_lv2_tpu.models.ebur128 import EbuR128Meter
 
     fs = 48000
-    B = int(os.environ.get("BENCH_STREAMS", "128"))
-    chunk_s = float(os.environ.get("BENCH_CHUNK_S", "2.0"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "15"))
+    B = int(os.environ.get("BENCH_STREAMS", "256"))
+    chunk_s = float(os.environ.get("BENCH_CHUNK_S", "1.0"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "30"))
     Tc = int(fs * chunk_s)
     dur = chunk_s * n_chunks
 

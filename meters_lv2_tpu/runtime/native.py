@@ -24,6 +24,9 @@ METER_KINDS = {
     "stcorr": 5,
     "r128": 6,
     "spectrum": 7,
+    "msppm": 8,
+    "sigdist": 9,
+    "bitmeter": 10,
 }
 
 _lib = None

@@ -82,6 +82,18 @@ struct CorState {
   float zl = 0, zr = 0, zlr = 0, zll = 0, zrr = 0;
 };
 
+struct SigDistState {
+  long hist[361] = {0};
+  long peak_bin = -1, peak_cnt = 0;
+  double sum = 0, mean = 0, m2 = 0;
+  long n = 0;
+};
+
+struct BitState {
+  double nan = 0, inf = 0, den = 0, zero = 0, pos = 0;
+  float vmin = INFINITY, vmax = 0;
+};
+
 // 30-band IEC 61260 1/3-octave bank: 6 biquad stages per band, coefficients
 // from a double-precision bilinear band-pass design (same formulas as the
 // python host design in ops/design.py).
@@ -164,6 +176,9 @@ struct mt_engine {
   R128Shared r128;
   CorState cor;
   SpectrumState spec;
+  SigDistState sig;
+  BitState bit;
+  BallState ms[2];  // mid/side ballistics
 };
 
 static void design_kweight(mt_engine* e) {
@@ -223,6 +238,13 @@ extern "C" mt_engine* mt_engine_create(int kind, float fs, int nchan) {
     case MT_STCORR:
       e->w1 = 6.28f * 2000.f / fs;
       e->w2 = 1.f / (0.3f * fs);
+      break;
+    case MT_MSPPM:
+      e->w1 = 200.f / fs; e->w2 = 860.f / fs; e->w3 = 1.f - 4.f / fs;
+      e->gain = 0.5141f;
+      break;
+    case MT_SIGDIST:
+    case MT_BITMETER:
       break;
     case MT_SPECTRUM: {
       e->spec.omega = 1.0f - std::exp(-2.0 * M_PI * 1.0 / fs);
@@ -495,6 +517,71 @@ extern "C" int mt_engine_process(mt_engine* e, const float* data, int64_t n) {
       proc_stcorr(e, data, n);
       return 0;
     case MT_R128: proc_r128(e, data, n); return 0;
+    case MT_MSPPM: {
+      if (e->nchan != 2) return -2;
+      const float* L = data;
+      const float* R = data + n;
+      const float mv = std::pow(10.f, 0.05f * -6.f);
+      for (int side = 0; side < 2; ++side) {
+        BallState& s = e->ms[side];
+        float z1 = std::fmin(std::fmax(s.z1, 0.f), 20.f);
+        float z2 = std::fmin(std::fmax(s.z2, 0.f), 20.f);
+        float m = s.res ? 0.f : s.m;
+        s.res = false;
+        for (int64_t i = 0; i + 3 < n; i += 4) {
+          z1 *= e->w3;
+          z2 *= e->w3;
+          for (int j = 0; j < 4; ++j) {
+            float t = mv * std::fabs(side ? L[i + j] - R[i + j]
+                                          : L[i + j] + R[i + j]);
+            if (t > z1) z1 += e->w1 * (t - z1);
+            if (t > z2) z2 += e->w2 * (t - z2);
+          }
+          float t = z1 + z2;
+          if (t > m) m = t;
+        }
+        s.z1 = z1 + 1e-10f;
+        s.z2 = z2 + 1e-10f;
+        s.m = m;
+      }
+      return 0;
+    }
+    case MT_SIGDIST: {
+      SigDistState& s = e->sig;
+      for (int64_t t = 0; t < n; ++t) {
+        float v = data[t];
+        int bin = (int)std::rint(180.0f + v * 150.0f);
+        if (bin < 0 || bin >= 361) continue;
+        if (++s.hist[bin] > s.peak_cnt) { s.peak_cnt = s.hist[bin]; s.peak_bin = bin; }
+        s.sum += v;
+        s.n++;
+        double d = v - s.mean;
+        s.mean += d / s.n;
+        s.m2 += d * (v - s.mean);
+      }
+      return 0;
+    }
+    case MT_BITMETER: {
+      BitState& s = e->bit;
+      for (int64_t t = 0; t < n; ++t) {
+        float v = data[t];
+        uint32_t u;
+        std::memcpy(&u, &v, 4);
+        uint32_t exp = (u >> 23) & 0xFF;
+        uint32_t man = u & 0x7FFFFF;
+        bool neg = u >> 31;
+        if (exp == 255) { if (man) s.nan++; else s.inf++; continue; }
+        if (exp == 0 && man == 0) { s.zero++; continue; }
+        if (exp == 0) s.den++;
+        if (!neg) s.pos++;
+        if (exp > 0) {
+          float a = std::fabs(v);
+          if (a > s.vmax) s.vmax = a;
+          if (a < s.vmin) s.vmin = a;
+        }
+      }
+      return 0;
+    }
     case MT_SPECTRUM: {
       SpectrumState& sp = e->spec;
       const float* L = data;
@@ -558,6 +645,30 @@ extern "C" int mt_engine_read(mt_engine* e, double* out, int maxn) {
       if (maxn < 1) return -2;
       out[0] = e->cor.zlr / std::sqrt(e->cor.zll * e->cor.zrr + 1e-10f);
       return 1;
+    }
+    case MT_MSPPM: {
+      if (maxn < 2) return -2;
+      for (int i = 0; i < 2; ++i) {
+        out[i] = e->gain * e->ms[i].m;
+        e->ms[i].res = true;
+      }
+      return 2;
+    }
+    case MT_SIGDIST: {
+      if (maxn < 5) return -2;
+      out[0] = e->sig.peak_bin;
+      out[1] = e->sig.peak_cnt;
+      out[2] = e->sig.sum;
+      out[3] = e->sig.m2;
+      out[4] = e->sig.n;
+      return 5;
+    }
+    case MT_BITMETER: {
+      if (maxn < 7) return -2;
+      out[0] = e->bit.zero; out[1] = e->bit.pos; out[2] = e->bit.nan;
+      out[3] = e->bit.inf; out[4] = e->bit.den; out[5] = e->bit.vmin;
+      out[6] = e->bit.vmax;
+      return 7;
     }
     case MT_SPECTRUM: {
       if (maxn < 60) return -2;

@@ -44,6 +44,9 @@ typedef enum {
   MT_STCORR = 5,      /* stereo phase correlation */
   MT_R128 = 6,        /* EBU R128 loudness */
   MT_SPECTRUM = 7,    /* 30-band 1/3-octave analyzer */
+  MT_MSPPM = 8,       /* BBC mid/side M-6 */
+  MT_SIGDIST = 9,     /* signal-distribution histogram (summary) */
+  MT_BITMETER = 10,   /* IEEE-754 stats (summary) */
 } mt_meter_kind;
 
 typedef struct mt_engine mt_engine;
@@ -62,6 +65,9 @@ int mt_engine_process(mt_engine* e, const float* data, int64_t nframes);
  *  STCORR:       1 (correlation)
  *  R128:         8 (M, S, maxM, maxS, I, LRAmin, LRAmax, dBTP)
  *  SPECTRUM:     60 (30 band dB + 30 peak-hold dB)
+ *  MSPPM:        2 (mid, side)
+ *  SIGDIST:      5 (peak bin, peak count, sum, variance M2, count)
+ *  BITMETER:     7 (zero, pos, nan, inf, den, min, max)
  * Returns the number of values written, or negative on error. */
 int mt_engine_read(mt_engine* e, double* out, int maxn);
 
