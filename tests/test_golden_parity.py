@@ -246,3 +246,47 @@ def test_spectrum_parity():
                                 f"spectrum/{fx['signal']} {tag} {i} "
                                 f"blk {rec['block']}: {got} vs {want}"
                             )
+
+
+def test_block_size_invariance():
+    """Same meters at very different process() cadences vs the reference."""
+    for fx in _fixtures("vu_blk4096"):
+        m = needle.VUMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init((2,))
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st, ref_level_db=-18.0)
+                rec = next(reads)
+                for c in range(2):
+                    assert_level(np.asarray(vals)[c], rec["values"][c],
+                                 msg=f"vu4096 blk {rec['block']} ch{c}")
+    for fx in _fixtures("kmeter_blk512"):
+        m = kmeter.KMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init((2,))
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st)
+                rec = next(reads)
+                for c in range(2):
+                    assert_level(np.asarray(vals["rms"])[c], rec["values"][2 * c],
+                                 msg=f"km512 rms ch{c} blk {rec['block']}")
+                    assert_level(np.asarray(vals["peak"])[c], rec["values"][2 * c + 1],
+                                 msg=f"km512 peak ch{c} blk {rec['block']}")
+    for fx in _fixtures("ebur128_blk4096"):
+        m = ebur128.EbuR128Meter(fx["fs"], nchan=2)
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+        np.testing.assert_array_equal(np.asarray(st.hist_m), final["histM"])
+        np.testing.assert_array_equal(np.asarray(st.hist_s), final["histS"])

@@ -35,6 +35,10 @@ CASES = [
     # fragment-aligned blocks: golden's 500 ms I/LRA recompute cadence lands
     # exactly on the read points, so integrated/LRA compare directly
     ("ebur128_aligned", 2, ["mix", "bursts", "silence_then_tone"], 12.0, 2400, 10),
+    # block-size invariance: same meters at very different process() cadences
+    ("vu_blk4096", 2, ["mix"], 6.0, 4096, 4),
+    ("kmeter_blk512", 2, ["bursts"], 6.0, 512, 32),
+    ("ebur128_blk4096", 2, ["mix"], 12.0, 4096, 4),
     ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
 ]
 
@@ -45,7 +49,10 @@ def main():
         meter, nchan, signals, seconds = case[:4]
         block = case[4] if len(case) > 4 else BLOCK
         read_every = case[5] if len(case) > 5 else READ_EVERY
-        gmeter = "ebur128" if meter.startswith("ebur128") else meter
+        gmeter = meter
+        for prefix in ("ebur128", "vu", "kmeter"):
+            if meter.startswith(prefix):
+                gmeter = prefix
         for sig in signals:
             x = make_signal(sig, seconds)  # [2, T]
             if nchan == 1:
