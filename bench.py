@@ -34,11 +34,28 @@ def main():
     dur = chunk_s * n_chunks
 
     meter = EbuR128Meter(fs, nchan=2)
-    update = jax.jit(meter.update)
     read = jax.jit(meter.read)
+    scan_n = int(os.environ.get("BENCH_SCAN", "1"))
+    assert n_chunks % scan_n == 0
 
-    key = jax.random.PRNGKey(0)
-    x = 0.1 * jax.random.normal(key, (B, 2, Tc), jnp.float32)
+    if scan_n > 1:
+        # amortize per-dispatch latency: one program advances scan_n chunks
+        @jax.jit
+        def update(st, xs):
+            def step(s, xc):
+                return meter.update(s, xc), ()
+
+            st, _ = jax.lax.scan(step, st, xs)
+            return st
+
+        key = jax.random.PRNGKey(0)
+        x = 0.1 * jax.random.normal(key, (scan_n, B, 2, Tc), jnp.float32)
+        n_dispatch = n_chunks // scan_n
+    else:
+        update = jax.jit(meter.update)
+        key = jax.random.PRNGKey(0)
+        x = 0.1 * jax.random.normal(key, (B, 2, Tc), jnp.float32)
+        n_dispatch = n_chunks
 
     # warmup / compile
     st = meter.init((B,))
@@ -52,7 +69,7 @@ def main():
         st = meter.init((B,))
         jax.block_until_ready(st.loud_m)
         t0 = time.perf_counter()
-        for _ in range(n_chunks):
+        for _ in range(n_dispatch):
             st = update(st, x)
         out, _ = read(st)
         jax.block_until_ready(out["integrated"])
