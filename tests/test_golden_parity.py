@@ -41,7 +41,7 @@ def _fixtures(prefix):
 
 
 def _stream(fx):
-    x = make_signal(fx["signal"], fx["seconds"])  # [2, T]
+    x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])  # [2, T]
     if fx["nchan"] == 1:
         x = x[:1]
     return x
@@ -290,3 +290,60 @@ def test_block_size_invariance():
             st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
         np.testing.assert_array_equal(np.asarray(st.hist_m), final["histM"])
         np.testing.assert_array_equal(np.asarray(st.hist_s), final["histS"])
+
+
+def test_parity_441khz():
+    """44.1 kHz fixtures: every coefficient rescales (fragm=2205, etc.)."""
+    for fx in _fixtures("truepeak_44k"):
+        m = truepeak.TruePeakMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init((2,))
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st)
+                rec = next(reads)
+                for c in range(2):
+                    assert_level(np.asarray(vals["level"])[c], rec["values"][2 * c],
+                                 msg=f"tp44k lvl ch{c} blk {rec['block']}")
+                    assert_level(np.asarray(vals["peak"])[c], rec["values"][2 * c + 1],
+                                 msg=f"tp44k peak ch{c} blk {rec['block']}")
+    for fx in _fixtures("ebur128_44k"):
+        m = ebur128.EbuR128Meter(fx["fs"], nchan=2)
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        rd = jax.jit(m.read)
+        mid = [r for r in fx["reads"] if "final" not in r]
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        it = iter(mid)
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, _ = rd(st)
+                rec = next(it)
+                for key, mine in [("M", "loudness_M"), ("S", "loudness_S")]:
+                    g, o = rec[key], float(out[mine])
+                    if g > -199.0:
+                        assert abs(o - g) < TOL_DB, (key, o, g, rec["block"])
+        np.testing.assert_array_equal(np.asarray(st.hist_m), final["histM"])
+    from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+
+    for fx in _fixtures("spectrum_44k"):
+        m = SpectrumAnalyzer(fx["fs"])
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(lambda s, xb: m.update(s, xb, stereo=True))
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, _ = m.read(st)
+                rec = next(reads)
+                bands = np.asarray(out["bands"])
+                for i in range(30):
+                    want = rec["bands"][i]
+                    if want > -99.9:
+                        assert abs(bands[i] - want) < 0.02, (i, bands[i], want)

@@ -39,6 +39,10 @@ CASES = [
     ("vu_blk4096", 2, ["mix"], 6.0, 4096, 4),
     ("kmeter_blk512", 2, ["bursts"], 6.0, 512, 32),
     ("ebur128_blk4096", 2, ["mix"], 12.0, 4096, 4),
+    # non-48k sample rate (fragm = fs//20 = 2205, all coefficients rescale)
+    ("ebur128_44k", 2, ["mix"], 12.0, 1024, 16, 44100),
+    ("truepeak_44k", 2, ["intersample_peak"], 6.0, 1024, 16, 44100),
+    ("spectrum_44k", 2, ["mix"], 4.0, 1024, 16, 44100),
     ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
 ]
 
@@ -49,12 +53,13 @@ def main():
         meter, nchan, signals, seconds = case[:4]
         block = case[4] if len(case) > 4 else BLOCK
         read_every = case[5] if len(case) > 5 else READ_EVERY
+        rate = case[6] if len(case) > 6 else FS
         gmeter = meter
-        for prefix in ("ebur128", "vu", "kmeter"):
+        for prefix in ("ebur128", "vu", "kmeter", "truepeak", "spectrum"):
             if meter.startswith(prefix):
                 gmeter = prefix
         for sig in signals:
-            x = make_signal(sig, seconds)  # [2, T]
+            x = make_signal(sig, seconds, fs=rate)  # [2, T]
             if nchan == 1:
                 x = x[:1]
             inter = np.ascontiguousarray(x.T).astype(np.float32)  # [T, C]
@@ -63,7 +68,7 @@ def main():
                 raw = f.name
             try:
                 res = subprocess.run(
-                    [GOLDEN, gmeter, str(FS), str(block), str(read_every),
+                    [GOLDEN, gmeter, str(rate), str(block), str(read_every),
                      str(nchan), raw],
                     capture_output=True, text=True, check=True,
                 )
@@ -73,7 +78,7 @@ def main():
             fx = {
                 "meter": meter,
                 "signal": sig,
-                "fs": FS,
+                "fs": rate,
                 "nchan": nchan,
                 "seconds": seconds,
                 "block": block,
