@@ -19,12 +19,54 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
+def check_truepeak(name="truepeak_mix"):
+    import jax
+    import jax.numpy as jnp
+
+    from signals import make_signal
+    from meters_lv2_tpu.models.truepeak import TruePeakMeter
+
+    fx = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "tests",
+                          "fixtures", f"{name}.json"))
+    )
+    x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])
+    m = TruePeakMeter(fx["fs"])
+    st = m.init((2,))
+    upd = jax.jit(m.update)
+    block, re = fx["block"], fx["read_every"]
+    reads = iter(fx["reads"])
+    worst = 0.0
+    for b in range(x.shape[1] // block):
+        st = upd(st, jnp.asarray(x[:, b * block : (b + 1) * block]))
+        if (b + 1) % re == 0:
+            vals, st = m.read(st)
+            rec = next(reads)
+            for c in range(2):
+                for got, want in [
+                    (float(np.asarray(vals["level"])[c]), rec["values"][2 * c]),
+                    (float(np.asarray(vals["peak"])[c]), rec["values"][2 * c + 1]),
+                ]:
+                    if want > 1e-6:
+                        worst = max(
+                            worst,
+                            abs(20 * np.log10(got) - 20 * np.log10(want)),
+                        )
+    print(f"truepeak worst err: {worst:.5f} dB (budget 0.01)")
+    return worst <= 0.01
+
+
 def main(name="ebur128_mix"):
     import jax
     import jax.numpy as jnp
 
     from signals import make_signal
     from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+
+    if name.startswith("truepeak"):
+        ok = check_truepeak(name)
+        print("PASS" if ok else "FAIL")
+        return 0 if ok else 1
 
     print("device:", jax.devices()[0], "precision:",
           os.environ.get("METERS_TPU_PRECISION", "highest"))
