@@ -177,8 +177,10 @@ class EbuR128Meter:
         assert C == self.nchan
         fragm = self.fragm
 
-        # 1) K-weighting + per-sample combined power
+        # 1) K-weighting + per-sample combined power (state NaN-flush per
+        # block, as the reference does per fragment: ebu_r128_proc.cc:331-334)
         y, z = self.sys.apply(x, state.z)  # [..., C, T]
+        z = jnp.where(jnp.isfinite(z), z, 0.0)
         p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
 
         # 2) true peak (oversampled |max|) — src/ebulv2.cc:344-347; fused
@@ -250,7 +252,7 @@ class EbuR128Meter:
             # sequential while loop on TPU; a masked [_, n_slots, 751]
             # reduction is pure VPU work
             k = jnp.floor(10.0 * vals + 700.5).astype(jnp.int32)
-            ok = mask & (k >= 0)
+            ok = mask & (k >= 0) & jnp.isfinite(vals)
             k = jnp.clip(k, 0, HIST_BINS - 1)
             onehot = (
                 k[..., None] == jnp.arange(HIST_BINS, dtype=jnp.int32)

@@ -120,10 +120,13 @@ def _run_ballistics(coeffs, t, z1, z2, m, p):
         z2 = z2 * w3
         for i in range(4):
             ti = tb[..., i]
-            z1 = jnp.maximum(z1, z1 + w1 * (ti - z1))
-            z2 = jnp.maximum(z2, z2 + w2 * (ti - z2))
+            # where(t > z) matches the reference branch exactly — a NaN
+            # sample compares false and is skipped (iec2ppmdsp.cc:59-72),
+            # unlike max() which would propagate it into the state
+            z1 = jnp.where(ti > z1, z1 + w1 * (ti - z1), z1)
+            z2 = jnp.where(ti > z2, z2 + w2 * (ti - z2), z2)
             if track_peak:
-                p = jnp.maximum(p, ti)
+                p = jnp.where(ti > p, ti, p)
         m = jnp.maximum(m, z1 + z2)
         return (z1, z2, m, p), None
 

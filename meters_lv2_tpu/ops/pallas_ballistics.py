@@ -49,10 +49,11 @@ def _kernel(w1, w2, w3, track_peak, tchunk, in_ref, s0_ref, out_ref, scratch):
         z2 = z2 * w3
         for j in range(4):
             t = in_ref[4 * g + j, 0]
-            z1 = jnp.maximum(z1, z1 + w1 * (t - z1))
-            z2 = jnp.maximum(z2, z2 + w2 * (t - z2))
+            # NaN-skipping branch semantics (see ops/ballistics.py)
+            z1 = jnp.where(t > z1, z1 + w1 * (t - z1), z1)
+            z2 = jnp.where(t > z2, z2 + w2 * (t - z2), z2)
             if track_peak:
-                p = jnp.maximum(p, t)
+                p = jnp.where(t > p, t, p)
         m = jnp.maximum(m, z1 + z2)
         return z1, z2, m, p
 

@@ -99,7 +99,7 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
     def scatter(vals, mask):
         # one-hot accumulation (scatter-add lowers to a while loop on TPU)
         kk = jnp.floor(10.0 * vals + 700.5).astype(jnp.int32)
-        ok = mask & (kk >= 0)
+        ok = mask & (kk >= 0) & jnp.isfinite(vals)
         kk = jnp.clip(kk, 0, HIST_BINS - 1)
         onehot = (
             kk[..., None] == jnp.arange(HIST_BINS, dtype=jnp.int32)
