@@ -67,3 +67,9 @@ def kmeter_deflect(db, krange):
            * 500.0 / (krange + 45.0))
     high = jnp.minimum((d + 45.0) / (krange + 45.0), 1.0)
     return jnp.where(d < -40.0, low, high)
+
+
+def lufs_to_lu(lufs, target_lufs: float = -23.0):
+    """Absolute LUFS → relative LU against a target (the EBU GUI displays
+    LU with a +23 offset by default, gui/ebur.c:336)."""
+    return jnp.asarray(lufs) - target_lufs
