@@ -44,6 +44,14 @@ def make_signal(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
     return np.stack([l, r]).astype(np.float32)
 
 
+def make_surround(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
+    """[5, T] synthetic 5.0 bed derived from the stereo signal:
+    (L, R, center, Ls, Rs)."""
+    x = make_signal(name, seconds, fs)
+    l, r = x
+    return np.stack([l, r, 0.5 * (l + r), 0.7 * l, 0.6 * r]).astype(np.float32)
+
+
 ALL_SIGNALS = [
     "sine997",
     "mix",

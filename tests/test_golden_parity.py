@@ -347,3 +347,30 @@ def test_parity_441khz():
                     want = rec["bands"][i]
                     if want > -99.9:
                         assert abs(bands[i] - want) < 0.02, (i, bands[i], want)
+
+
+def test_ebur128_5channel_parity():
+    """5.0 surround: channel gains {1,1,1,1.41,1.41} vs the C reference."""
+    from signals import make_surround
+
+    for fx in _fixtures("ebur128_5ch"):
+        m = ebur128.EbuR128Meter(fx["fs"], nchan=5)
+        x = make_surround(fx["signal"], fx["seconds"], fs=fx["fs"])
+        st = m.init(())
+        upd = jax.jit(m.update)
+        rd = jax.jit(m.read)
+        mid = [r for r in fx["reads"] if "final" not in r]
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        it = iter(mid)
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, _ = rd(st)
+                rec = next(it)
+                for key, mine in [("M", "loudness_M"), ("S", "loudness_S"),
+                                  ("I", "integrated")]:
+                    g, o = rec[key], float(out[mine])
+                    if g > -199.0:
+                        assert abs(o - g) < TOL_DB, (key, o, g, rec["block"])
+        np.testing.assert_array_equal(np.asarray(st.hist_m), final["histM"])
+        np.testing.assert_array_equal(np.asarray(st.hist_s), final["histS"])

@@ -39,6 +39,8 @@ CASES = [
     ("vu_blk4096", 2, ["mix"], 6.0, 4096, 4),
     ("kmeter_blk512", 2, ["bursts"], 6.0, 512, 32),
     ("ebur128_blk4096", 2, ["mix"], 12.0, 4096, 4),
+    # 5.0 surround: exercises the {1,1,1,1.41,1.41} channel gains
+    ("ebur128_5ch", 5, ["mix"], 12.0, 2400, 10),
     # non-48k sample rate (fragm = fs//20 = 2205, all coefficients rescale)
     ("ebur128_44k", 2, ["mix"], 12.0, 1024, 16, 44100),
     ("truepeak_44k", 2, ["intersample_peak"], 6.0, 1024, 16, 44100),
@@ -59,9 +61,14 @@ def main():
             if meter.startswith(prefix):
                 gmeter = prefix
         for sig in signals:
-            x = make_signal(sig, seconds, fs=rate)  # [2, T]
-            if nchan == 1:
-                x = x[:1]
+            if nchan == 5:
+                from signals import make_surround
+
+                x = make_surround(sig, seconds, fs=rate)
+            else:
+                x = make_signal(sig, seconds, fs=rate)  # [2, T]
+                if nchan == 1:
+                    x = x[:1]
             inter = np.ascontiguousarray(x.T).astype(np.float32)  # [T, C]
             with tempfile.NamedTemporaryFile(suffix=".f32", delete=False) as f:
                 inter.tofile(f)
