@@ -33,10 +33,11 @@ _CAP = 2147483647
 
 @dataclasses.dataclass(frozen=True)
 class BitMeterState:
-    hit: jax.Array  # [..., 280] absolute-bit-position exposure counts
-    one: jax.Array  # [..., 280] set-bit counts at those positions
-    dset: jax.Array  # [..., 23] per-mantissa-bit set counts
-    nan: jax.Array  # [...] f32 counters
+    hit: jax.Array  # [..., 280] int32 absolute-bit-position exposure counts
+    one: jax.Array  # [..., 280] int32 set-bit counts at those positions
+    dset: jax.Array  # [..., 23] int32 per-mantissa-bit set counts
+    nan: jax.Array  # [...] int32 counters (reference: int, bitmeter.c:75-105;
+    # exact past 2^24 where f32 increments would stall)
     inf: jax.Array
     den: jax.Array
     zero: jax.Array
@@ -65,15 +66,15 @@ class BitMeter:
         self.dtype = dtype
 
     def init(self, batch_shape=()) -> BitMeterState:
-        z = jnp.zeros(batch_shape, self.dtype)
+        zi = jnp.zeros(batch_shape, jnp.int32)
         return BitMeterState(
-            hit=jnp.zeros((*batch_shape, NPOS), self.dtype),
-            one=jnp.zeros((*batch_shape, NPOS), self.dtype),
-            dset=jnp.zeros((*batch_shape, 23), self.dtype),
-            nan=z, inf=z, den=z, zero=z, pos=z,
+            hit=jnp.zeros((*batch_shape, NPOS), jnp.int32),
+            one=jnp.zeros((*batch_shape, NPOS), jnp.int32),
+            dset=jnp.zeros((*batch_shape, 23), jnp.int32),
+            nan=zi, inf=zi, den=zi, zero=zi, pos=zi,
             vmin=jnp.full(batch_shape, jnp.inf, self.dtype),
-            vmax=z,
-            time=jnp.zeros(batch_shape, jnp.int32),
+            vmax=jnp.zeros(batch_shape, self.dtype),
+            time=zi,
             integrating=jnp.ones(batch_shape, bool),
         )
 
@@ -94,7 +95,7 @@ class BitMeter:
         is_num = (exp != 255) & ~is_zero  # participates in bit stats
         is_norm = is_num & (exp > 0)
 
-        cnt = lambda m: jnp.where(m & runx, 1.0, 0.0).sum(-1)
+        cnt = lambda m: (m & runx).sum(-1, dtype=jnp.int32)
         nan = state.nan + cnt(is_nan)
         inf = state.inf + cnt(is_inf)
         den = state.den + cnt(is_den)
@@ -113,10 +114,10 @@ class BitMeter:
         # positions (bitmeter.c:97-99)
         e_eff = jnp.where(exp > 0, exp, 1)
         eh_num = hist_ops.bincount(
-            jnp.where(is_num & runx, e_eff, -1), NEXP
+            jnp.where(is_num & runx, e_eff, -1), NEXP, dtype=jnp.int32
         )  # all numbers with bit stats
         eh_norm = hist_ops.bincount(
-            jnp.where(is_norm & runx, exp, -1), NEXP
+            jnp.where(is_norm & runx, exp, -1), NEXP, dtype=jnp.int32
         )  # normals only (implicit leading bit)
 
         # per-bit masked exponent histograms: [..., 23, NEXP]
@@ -124,7 +125,7 @@ class BitMeter:
         set_k = (man[..., None, :] >> kbit[:, None]) & 1  # [..., 23, T]
         okk = (is_num & runx)[..., None, :] & (set_k == 1)
         eh_set = hist_ops.bincount(
-            jnp.where(okk, e_eff[..., None, :], -1), NEXP
+            jnp.where(okk, e_eff[..., None, :], -1), NEXP, dtype=jnp.int32
         )  # [..., 23, NEXP]
 
         # hit[j] += sum_k eh_num[j - k]  (j = exp + k), plus the implicit
@@ -141,7 +142,7 @@ class BitMeter:
         hit = acc(hit, eh_norm, 23)
         one = acc(one, eh_norm, 23)
 
-        dset = state.dset + jnp.where(okk, 1.0, 0.0).sum(-1)
+        dset = state.dset + okk.sum(-1, dtype=jnp.int32)
 
         return BitMeterState(
             hit=hit, one=one, dset=dset,

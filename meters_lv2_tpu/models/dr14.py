@@ -46,7 +46,8 @@ class DR14State:
     peak_top2: jax.Array  # [..., C, 2] two highest window peaks
     scnt: jax.Array  # [...] int32 samples into open window
     num_windows: jax.Array  # [...] int32 non-silent windows counted
-    hist: jax.Array  # [..., C, 8000] float32 counts
+    hist: jax.Array  # [..., C, 8000] int32 counts (reference: uint32,
+    # src/dr14.c:89)
 
 
 jax.tree_util.register_dataclass(
@@ -70,6 +71,10 @@ class DR14Meter:
         self.fs = float(fs)
         self.nchan = nchan
         self.win = int(round(fs * 3.0))  # n_sample_cnt (dr14.c:155)
+        # the reference's per-sample loop tests `if (++scnt > slmt)` AFTER
+        # accumulating (dr14.c:404-410), so each window actually spans
+        # n_sample_cnt + 1 samples while the RMS normalizes by n_sample_cnt
+        self.win_len = self.win + 1
         self.km = KMeter(fs, dtype)
         self.tp = TruePeakMeter(fs, dtype)
         self.dtype = dtype
@@ -86,7 +91,7 @@ class DR14Meter:
             peak_top2=f(C, 2),
             scnt=jnp.zeros(batch_shape, jnp.int32),
             num_windows=jnp.zeros(batch_shape, jnp.int32),
-            hist=f(C, DR_HISTBINS),
+            hist=jnp.zeros((*batch_shape, C, DR_HISTBINS), jnp.int32),
         )
 
     def update(self, state: DR14State, x: jax.Array) -> DR14State:
@@ -98,18 +103,18 @@ class DR14Meter:
         if not self.dr_mode:
             return dataclasses.replace(state, km=km, tp=tp)
 
-        win = self.win
-        n_slots = T // win + 2
+        win_len = self.win_len  # n_sample_cnt + 1 samples per window
+        n_slots = T // win_len + 2
         sq = jnp.square(x)
         off_bc = jnp.broadcast_to(state.scnt[..., None], (*batch, C))
-        seg_sum = segment.shifted_segments(sq, off_bc, win, n_slots, "sum")
+        seg_sum = segment.shifted_segments(sq, off_bc, win_len, n_slots, "sum")
         # reference tracks peak_cur = MAX(peak_cur, v) of the SIGNED sample
         # (dr14.c:404) — positive peaks only, floor 0 (the 'max' reduce's
         # identity)
-        seg_peak = segment.shifted_segments(x, off_bc, win, n_slots, "max")
+        seg_peak = segment.shifted_segments(x, off_bc, win_len, n_slots, "max")
         seg_sum = seg_sum.at[..., 0].add(state.rms_sum)
 
-        ncomp = (state.scnt + T) // win  # completed windows
+        ncomp = (state.scnt + T) // win_len  # completed windows
         slot = jnp.arange(n_slots, dtype=jnp.int32)
         validb = slot < ncomp[..., None]  # [..., n_slots]
 
@@ -127,7 +132,8 @@ class DR14Meter:
         bins = jnp.minimum(bins, DR_HISTBINS - 1)
         ok = counted[..., None, :] & (bins > 0)
         hist = state.hist + hist_ops.bincount(
-            jnp.where(ok, bins, -1), DR_HISTBINS, chunk=n_slots
+            jnp.where(ok, bins, -1), DR_HISTBINS, chunk=n_slots,
+            dtype=jnp.int32,
         )
 
         # peak_cur persists through silent windows and resets only at
@@ -160,7 +166,7 @@ class DR14Meter:
             rms_sum=rms_sum,
             peak_cur=peak_cur,
             peak_top2=top2,
-            scnt=(state.scnt + T) % win,
+            scnt=(state.scnt + T) % win_len,
             num_windows=state.num_windows + counted.sum(-1, dtype=jnp.int32),
             hist=hist,
         )
@@ -182,8 +188,9 @@ class DR14Meter:
         inc = cum_above < m_cut[..., None, None]
         b_idx = jnp.arange(DR_HISTBINS - 1, 0, -1, dtype=jnp.float32)
         cd = jnp.power(10.0, 0.05 * (b_idx - DR_HISTBINS + 1) / 100.0)
-        score = jnp.sum(jnp.where(inc, rev * cd * cd, 0.0), -1)
-        n_cut = jnp.sum(jnp.where(inc, rev, 0.0), -1)
+        revf = rev.astype(cd.dtype)
+        score = jnp.sum(jnp.where(inc, revf * cd * cd, 0.0), -1)
+        n_cut = jnp.sum(jnp.where(inc, revf, 0.0), -1)
         rms_db = jnp.where(
             (n_cut > 0) & (nf[..., None] > 2),
             coeff_to_db(jnp.sqrt(score / jnp.maximum(n_cut, 1.0))),

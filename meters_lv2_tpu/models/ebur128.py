@@ -43,6 +43,7 @@ from .base import register
 HIST_BINS = 751
 _MWIN = 8  # momentary window, fragments (400 ms)
 _SWIN = 60  # short-term window, fragments (3 s)
+_NRADIX = 1 << 30  # sample-counter split radix (two int32 words)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,7 +70,11 @@ class EbuR128State:
     # true peak + bookkeeping
     dbtp: jax.Array  # [...] running oversampled |peak|
     integrating: jax.Array  # [...] bool
-    n_samples: jax.Array  # [...] int64-ish int32 total samples seen
+    # integration sample count, only advanced while integrating
+    # (src/ebulv2.cc:394-396); split into two int32 words at radix 2^30 so
+    # multi-day streams stay exact without jax_enable_x64
+    n_lo: jax.Array  # [...] int32 low word (< 2^30)
+    n_hi: jax.Array  # [...] int32 high word
     # radar history (src/ebulv2.cc:160-176, 390-421): 360-point rings
     radar_m: jax.Array  # [..., 360]
     radar_s: jax.Array  # [..., 360]
@@ -84,7 +89,7 @@ jax.tree_util.register_dataclass(
     data_fields=[
         "z", "tp_hist", "frpwr", "off", "fhist", "loud_m", "loud_s",
         "max_m", "max_s", "hist_m", "hist_s", "count_m", "count_s",
-        "div1", "div2", "dbtp", "integrating", "n_samples",
+        "div1", "div2", "dbtp", "integrating", "n_lo", "n_hi",
         "radar_m", "radar_s", "radar_pos", "radar_cur_m", "radar_cur_s",
         "radar_spd_cur",
     ],
@@ -140,7 +145,8 @@ class EbuR128Meter:
             div2=i(),
             dbtp=jnp.zeros(batch_shape, self.dtype),
             integrating=jnp.ones(batch_shape, bool),
-            n_samples=i(),
+            n_lo=i(),
+            n_hi=i(),
             radar_m=jnp.full((*batch_shape, RADAR_POINTS), -jnp.inf, self.dtype),
             radar_s=jnp.full((*batch_shape, RADAR_POINTS), -jnp.inf, self.dtype),
             radar_pos=i(),
@@ -312,6 +318,7 @@ class EbuR128Meter:
         rspd = S[..., -1] - spd * total + jnp.where(ncomp > 0, off_new, T)
 
         n_int = jnp.where(state.integrating, ncomp, 0)
+        n_lo = state.n_lo + jnp.where(state.integrating, T, 0)
         return EbuR128State(
             z=z,
             tp_hist=tp_hist,
@@ -330,7 +337,8 @@ class EbuR128Meter:
             div2=(state.div2 + n_int) % 10,
             dbtp=dbtp,
             integrating=state.integrating,
-            n_samples=state.n_samples + T,
+            n_lo=n_lo % _NRADIX,
+            n_hi=state.n_hi + n_lo // _NRADIX,
             radar_m=radar_m,
             radar_s=radar_s,
             radar_pos=radar_pos,
@@ -408,11 +416,20 @@ class EbuR128Meter:
             "range_thr": rth,
             "lra": v1 - v0,
             "dbtp": state.dbtp,
-            "integ_time_s": state.n_samples / self.fs,
+            "integ_time_s": self.total_samples(state) / self.fs,
             "radar_m": state.radar_m,
             "radar_s": state.radar_s,
             "radar_pos": state.radar_pos,
         }, state
+
+    def total_samples(self, state: EbuR128State):
+        """Integrated sample count as f32 (counter itself is exact; the
+        float view rounds to ~24 significant bits — ppm-level for a
+        readout in seconds)."""
+        return (
+            state.n_hi.astype(jnp.float32) * float(_NRADIX)
+            + state.n_lo.astype(jnp.float32)
+        )
 
     def radar_reset(self, state: EbuR128State) -> EbuR128State:
         """CTL_RESETRADAR (src/ebulv2.cc:296-300)."""

@@ -29,12 +29,13 @@ _CAP = 2147483647
 
 @dataclasses.dataclass(frozen=True)
 class SigDistState:
-    hist: jax.Array  # [..., 361] f32 counts
-    n: jax.Array  # [...] f32 count of all integrated samples
+    hist: jax.Array  # [..., 361] int32 counts (reference: int, :298)
+    n: jax.Array  # [...] int32 count of integrated in-range samples
     mean: jax.Array  # [...] f32 running mean (of all samples)
     m2: jax.Array  # [...] f32 running M2
     total: jax.Array  # [...] f32 running sum (reference reports avg as sum)
-    time: jax.Array  # [...] int32 integration time in samples (all samples)
+    time: jax.Array  # [...] int32 integration time in samples (all samples;
+    # the reference itself caps acquisition at 2^31 points, :288-295)
     integrating: jax.Array  # [...] bool
 
 
@@ -53,10 +54,11 @@ class SigDistMeter:
 
     def init(self, batch_shape=()) -> SigDistState:
         z = jnp.zeros(batch_shape, self.dtype)
+        zi = jnp.zeros(batch_shape, jnp.int32)
         return SigDistState(
-            hist=jnp.zeros((*batch_shape, DIST_BIN), self.dtype),
-            n=z, mean=z, m2=z, total=z,
-            time=jnp.zeros(batch_shape, jnp.int32),
+            hist=jnp.zeros((*batch_shape, DIST_BIN), jnp.int32),
+            n=zi, mean=z, m2=z, total=z,
+            time=zi,
             integrating=jnp.ones(batch_shape, bool),
         )
 
@@ -65,7 +67,9 @@ class SigDistMeter:
         run = state.integrating & (state.time < _CAP - T)
         bins = jnp.round(DIST_ZERO + x * DIST_RANGE).astype(jnp.int32)
         ok = (bins >= 0) & (bins < DIST_BIN) & run[..., None]
-        hist = state.hist + hist_ops.bincount(jnp.where(ok, bins, -1), DIST_BIN)
+        hist = state.hist + hist_ops.bincount(
+            jnp.where(ok, bins, -1), DIST_BIN, dtype=jnp.int32
+        )
         # variance/average integrate ALL samples while running (the
         # histogram drops out-of-range bins but avg/var do not,
         # sigdistlv2.c:303-318 — avg += val before the bin check?  No:
@@ -93,7 +97,8 @@ class SigDistMeter:
             "hist_var": state.m2,  # reference transmits var_s (sum of sq dev)
             "integration_time": state.time,
             "mean": state.mean,
-            "variance": state.m2 / jnp.maximum(state.n - 1.0, 1.0),
+            "variance": state.m2
+            / jnp.maximum(state.n.astype(state.m2.dtype) - 1.0, 1.0),
         }, state
 
     def reset(self, state: SigDistState) -> SigDistState:

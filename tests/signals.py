@@ -39,6 +39,24 @@ def make_signal(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
         # near-fs/4 tone with phase offset: true peak exceeds sample peak
         l = 0.5 * np.sin(2 * np.pi * (fs / 4.0 - 10) * t + 0.3)
         r = 0.5 * np.sin(2 * np.pi * (fs / 6.0 + 7) * t + 1.1)
+    elif name == "weird_floats":
+        # IEEE-754 zoo for the bitmeter: zeros (both signs), denormals,
+        # NaN/Inf, huge-dynamic-range normals, plus ordinary audio
+        l = (0.3 * np.sin(2 * np.pi * 441 * t)).astype(np.float32)
+        l[::17] = 0.0
+        l[1::17] = -0.0
+        l[2::17] = np.float32(1e-42)  # denormal
+        l[3::17] = np.float32(-3e-44)  # denormal
+        l[4::17] = np.nan
+        l[5::17] = np.inf
+        l[6::17] = -np.inf
+        l[7::17] = np.float32(1e30)
+        l[8::17] = np.float32(-1e-30)
+        l[9::17] = np.float32(0.75)
+        scale = np.float32(2.0) ** rng.integers(-40, 10, n).astype(np.float32)
+        l[10::17] = (scale * rng.standard_normal(n).astype(np.float32))[10::17]
+        r = l[::-1].copy()
+        return np.stack([l, r]).astype(np.float32)
     else:
         raise KeyError(name)
     return np.stack([l, r]).astype(np.float32)

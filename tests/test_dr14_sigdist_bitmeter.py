@@ -13,13 +13,16 @@ def dr14_oracle(x, fs=FS):
     (src/dr14.c:263-352, 396-416) for whole signals."""
     C, T = x.shape
     win = int(round(fs * 3.0))
-    nwin = T // win
+    # the reference window spans n_sample_cnt+1 samples (post-increment
+    # `++scnt > slmt` test, dr14.c:404-410) but normalizes by n_sample_cnt
+    wl = win + 1
+    nwin = T // wl
     hist = np.zeros((C, 8000), np.int64)
     peak_hist = np.zeros((C, 2))
     peak_cur = np.zeros(C)
     nf = 0
     for wdx in range(nwin):
-        seg = x[:, wdx * win : (wdx + 1) * win]
+        seg = x[:, wdx * wl : (wdx + 1) * wl]
         sums = (seg.astype(np.float64) ** 2).sum(-1)
         peak_cur = np.maximum(peak_cur, np.maximum(seg.max(-1), 0.0))
         if not (sums > 1e-9 * win).any():
@@ -168,3 +171,74 @@ def test_bitmeter_stats():
     assert dset[22] > 0
     # per-value audit for 0.75: exp=126, bit22 set -> one[126+22]=one[148]>0
     assert one[148] > 0
+
+
+def test_counters_exact_past_2pow24():
+    """Integer counters keep exact counts where f32 increments would stall
+    (reference uses int/long counters: src/bitmeter.c:75-105, dr14.c:89,
+    ebulv2.cc:394-396).  Simulates a >24 h stream by seeding the counters
+    just past the f32 integer limit and checking exact advance."""
+    import dataclasses
+    from meters_lv2_tpu.models.bitmeter import BitMeter
+    from meters_lv2_tpu.models.sigdist import SigDistMeter
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+
+    big = (1 << 24) + 5  # f32 cannot represent big+1
+
+    bm = BitMeter(FS)
+    st = bm.init(())
+    st = dataclasses.replace(
+        st,
+        zero=jnp.asarray(big, jnp.int32),
+        hit=st.hit.at[150].set(big),
+        time=jnp.asarray(big, jnp.int32),
+    )
+    x = jnp.concatenate([jnp.zeros(64, jnp.float32), jnp.ones(64, jnp.float32)])
+    st = jax.jit(bm.update)(st, x)
+    out, _ = bm.read(st)
+    assert int(out["zero"]) == big + 64
+    assert int(np.asarray(out["hit"])[150]) == big + 64
+    assert int(out["integration_time"]) == big + 128
+
+    sd = SigDistMeter(FS)
+    st = sd.init(())
+    st = dataclasses.replace(
+        st,
+        hist=st.hist.at[180].set(big),
+        time=jnp.asarray(big, jnp.int32),
+        n=jnp.asarray(big, jnp.int32),
+    )
+    st = jax.jit(sd.update)(st, jnp.zeros(128, jnp.float32))
+    assert int(np.asarray(st.hist)[180]) == big + 128
+    assert int(st.time) == big + 128
+    assert int(st.n) == big + 128
+
+    # EBU sample counter: hi/lo int32 split carries exactly past 2^31
+    # (24 h @ 48 kHz = 4.15e9 samples > int32 range)
+    m = EbuR128Meter(FS, nchan=2)
+    st = m.init(())
+    st = dataclasses.replace(
+        st,
+        n_lo=jnp.asarray((1 << 30) - 100, jnp.int32),
+        n_hi=jnp.asarray(3, jnp.int32),  # ~3.2e9 samples so far
+    )
+    st = jax.jit(m.update)(st, jnp.zeros((2, 2400), jnp.float32))
+    assert int(st.n_lo) == 2300
+    assert int(st.n_hi) == 4
+    total = int(st.n_lo) + (int(st.n_hi) << 30)
+    assert total == ((1 << 30) - 100) + (3 << 30) + 2400
+
+
+def test_ebu_integration_time_pauses():
+    """integ_time only advances while integrating (src/ebulv2.cc:394-396)."""
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+
+    m = EbuR128Meter(FS, nchan=2)
+    st = m.init(())
+    x = jnp.zeros((2, 4800), jnp.float32)
+    st = jax.jit(m.update)(st, x)
+    st = m.integr_pause(st)
+    st = jax.jit(m.update)(st, x)
+    st = m.integr_start(st)
+    st = jax.jit(m.update)(st, x)
+    assert int(st.n_lo) + (int(st.n_hi) << 30) == 9600

@@ -1,0 +1,223 @@
+"""FFT-meter + goniometer parity vs the compiled/transcribed golden path.
+
+The golden CLI implements gui/fft.c's exact streaming semantics (ring
+buffer, ceil(rate/fps) hop quantization, Hann 2/sum window, r2hc boundary
+bins) with a double-precision FFT, links the real zita Resampler for the
+goniometer, and transcribes the phasewheel/stereoscope process_audio loops
+(gui/phasewheel.c:1307-1342, gui/stereoscope.c:705-741,
+gui/goniometer.c:299-537).  Tolerances cover fftwf-f32 vs double transform
+noise (~1e-5 relative), not semantics.
+
+Hop placement: the reference analyzes at the first process() boundary
+where >= sps samples accumulated, i.e. every ceil(sps/B)*B samples for a
+constant block size B.  The TPU STFT reproduces that exactly by choosing
+hop = ceil(sps/B)*B (see test_stft_oddblock_parity).
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from signals import make_signal
+from meters_lv2_tpu.ops.fft import STFT
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load_all(prefix):
+    import glob
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(FIXDIR, prefix + "_*.json"))):
+        with open(p) as f:
+            fx = json.load(f)
+        if fx["meter"] == prefix:
+            out.append(fx)
+    return out
+
+
+def _wrap(p):
+    return ((p + np.pi) % (2 * np.pi)) - np.pi
+
+
+def _run_stft(fx, hop_override=None):
+    ws = int(fx["extra"][0])
+    fps = float(fx["extra"][1])
+    stft = STFT(fx["fs"], ws, fps)
+    if hop_override:
+        stft.hop = hop_override
+    x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])[0]
+    T = len(x) - len(x) % stft.hop
+    power, phase, st = stft.update(stft.init(()), jnp.asarray(x[:T]))
+    return stft, np.asarray(power), np.asarray(phase)
+
+
+def test_stft_parity():
+    """block divides hop: reference analysis points == hop multiples."""
+    for fx in _load_all("stft"):
+        stft, power, phase = _run_stft(fx)
+        assert fx["block"] * (stft.hop // fx["block"]) == stft.hop
+        for rec in fx["reads"]:
+            assert rec["step"] == stft.hop  # frame-exact placement
+            i = rec["frame"] - 1
+            gp = np.asarray(rec["power"])
+            gph = np.asarray(rec["phase"])
+            # below ~1e-8 x peak the f32 transform noise dominates power
+            np.testing.assert_allclose(
+                power[i], gp, rtol=2e-4, atol=1e-8 * gp.max(),
+                err_msg=f"{fx['signal']} frame {rec['frame']} power")
+            sig = gp > 1e-6 * gp.max()
+            pherr = np.abs(_wrap(phase[i] - gph))[sig]
+            assert pherr.max() < 1e-3, (fx["signal"], rec["frame"], pherr.max())
+            # boundary-bin semantics: bin 0 phase == 0, top bin zeroed
+            assert phase[i][0] == 0.0 and power[i][-1] == 0.0
+            assert gph[0] == 0.0 and gp[-1] == 0.0
+
+
+def test_stft_freq_at_bin_parity():
+    """Phase-derivative instantaneous frequency (fftx_freq_at_bin)."""
+    for fx in _load_all("stft"):
+        stft, power, phase = _run_stft(fx)
+        for rec in fx["reads"]:
+            i = rec["frame"] - 1
+            if i == 0:
+                continue  # golden phase_h of frame 1 predates our stream
+            freq = np.asarray(
+                stft.freq_at_bin(
+                    jnp.asarray(phase[i]), jnp.asarray(phase[i - 1]), rec["step"]
+                )
+            )
+            gfreq = np.asarray(rec["freq"])
+            gp = np.asarray(rec["power"])
+            sig = gp > 1e-6  # freq estimate is noise below this
+            np.testing.assert_allclose(
+                freq[sig], gfreq[sig], rtol=5e-3, atol=2.0,
+                err_msg=f"{fx['signal']} frame {rec['frame']}")
+
+
+def test_stft_oddblock_parity():
+    """block=1024 does NOT divide sps=1920: the reference analyzes every
+    2048 samples (ceil(1920/1024)*1024).  Setting hop=2048 reproduces its
+    quantized placement exactly."""
+    for fx in _load_all("stft_oddblock"):
+        sps = int(math.ceil(fx["fs"] / float(fx["extra"][1])))
+        k = int(math.ceil(sps / fx["block"]))
+        hop = k * fx["block"]
+        assert hop == 2048
+        stft, power, phase = _run_stft(fx, hop_override=hop)
+        for rec in fx["reads"]:
+            assert rec["step"] == hop
+            i = rec["frame"] - 1
+            gp = np.asarray(rec["power"])
+            sig = gp > 1e-10
+            np.testing.assert_allclose(
+                power[i][sig], gp[sig], rtol=2e-4,
+                err_msg=f"oddblock frame {rec['frame']}")
+
+
+def test_phasewheel_parity():
+    from meters_lv2_tpu.models.phasewheel import PhaseWheel
+
+    for fx in _load_all("phasewheel"):
+        bins = int(fx["extra"][0])
+        m = PhaseWheel(fx["fs"], bins=bins)
+        x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])
+        hop = m.stft.hop
+        T = x.shape[1] - x.shape[1] % hop
+        st = m.init(())
+        proc = jax.jit(m.process)
+        reads = iter(fx["reads"])
+        mism = 0
+        tot = 0
+        for f in range(1, T // hop + 1):
+            out, st = proc(st, jnp.asarray(x[:, (f - 1) * hop : f * hop]))
+            if f % fx["read_every"] != 0:
+                continue
+            rec = next(reads)
+            assert rec["frame"] == f
+            gph = np.asarray(rec["phase"])  # bins 1..bins-2
+            glv = np.asarray(rec["level"])
+            mph = np.asarray(out["phase"])[0][1:-1]
+            mlv = np.asarray(out["level"])[0][1:-1]
+            ok_g = glv > -100.0
+            ok_m = mlv > -100.0
+            mism += (ok_g != ok_m).sum()
+            tot += len(ok_g)
+            both = ok_g & ok_m
+            np.testing.assert_allclose(
+                mlv[both], glv[both], rtol=2e-4, atol=1e-8 * max(glv.max(), 0),
+                err_msg=f"{fx['signal']} frame {f} level")
+            pherr = np.abs(_wrap(mph[both] - gph[both]))
+            assert pherr.max() < 2e-3, (fx["signal"], f, pherr.max())
+            np.testing.assert_allclose(
+                float(out["peak"]), rec["peak"], rtol=1e-3, atol=1e-9,
+                err_msg=f"{fx['signal']} frame {f} peak")
+        # threshold-boundary bins may flip with FFT precision; must be rare
+        assert mism <= 0.01 * tot, (mism, tot)
+
+
+def test_stereoscope_parity():
+    from meters_lv2_tpu.models.phasewheel import Stereoscope
+
+    for fx in _load_all("stereoscope"):
+        bins = int(fx["extra"][0])
+        m = Stereoscope(fx["fs"], bins=bins)
+        x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])
+        hop = m.stft.hop
+        T = x.shape[1] - x.shape[1] % hop
+        st = m.init(())
+        # feed frame by frame so we can compare the smoothed state at the
+        # golden dump cadence
+        reads = iter(fx["reads"])
+        nf = T // hop
+        for f in range(1, nf + 1):
+            out, st = m.process(st, jnp.asarray(x[:, (f - 1) * hop : f * hop]))
+            if f % fx["read_every"] == 0:
+                rec = next(reads)
+                assert rec["frame"] == f
+                glr = np.asarray(rec["lr"])
+                glv = np.asarray(rec["level"])
+                mlr = np.asarray(out["lr"])[1:-1]
+                mlv = np.asarray(out["level"])[1:-1]
+                np.testing.assert_allclose(
+                    mlr, glr, atol=1e-4,
+                    err_msg=f"{fx['signal']} frame {f} lr")
+                np.testing.assert_allclose(
+                    mlv, glv, rtol=2e-3, atol=1e-12,
+                    err_msg=f"{fx['signal']} frame {f} level")
+
+
+@pytest.mark.parametrize("prefix", ["goniometer", "goniometer_os1"])
+def test_goniometer_parity(prefix):
+    from meters_lv2_tpu.models.goniometer import Goniometer
+
+    for fx in _load_all(prefix):
+        os_f = int(fx["extra"][0])
+        m = Goniometer(fx["fs"], oversample=os_f)
+        x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])
+        st = m.init(())
+        proc = jax.jit(m.process)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            out, st = proc(
+                st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]])
+            )
+            if (b + 1) % fx["read_every"] == 0:
+                rec = next(reads)
+                ax = np.asarray(out["x"], np.float64)
+                ay = np.asarray(out["y"], np.float64)
+                tag = f"{prefix}/{fx['signal']} blk {rec['block']}"
+                np.testing.assert_allclose(
+                    float(out["gain"]), rec["gain"], rtol=1e-4, err_msg=tag)
+                np.testing.assert_allclose(
+                    (ax ** 2).sum(), rec["sx2"], rtol=1e-5, err_msg=tag)
+                np.testing.assert_allclose(
+                    (ay ** 2).sum(), rec["sy2"], rtol=1e-5, err_msg=tag)
+                np.testing.assert_allclose(
+                    np.abs(ax).max(), rec["axmax"], rtol=1e-4, err_msg=tag)

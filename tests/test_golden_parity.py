@@ -374,3 +374,125 @@ def test_ebur128_5channel_parity():
                         assert abs(o - g) < TOL_DB, (key, o, g, rec["block"])
         np.testing.assert_array_equal(np.asarray(st.hist_m), final["histM"])
         np.testing.assert_array_equal(np.asarray(st.hist_s), final["histS"])
+
+
+@pytest.mark.parametrize("prefix", ["dr14", "dr14mono"])
+def test_dr14_parity(prefix):
+    """DR-14 vs the compiled reference (src/dr14.c measurement loop linked
+    with the reference Kmeterdsp/TruePeakdsp in the golden CLI)."""
+    from meters_lv2_tpu.models.dr14 import DR14Meter
+
+    for fx in _fixtures(prefix):
+        m = DR14Meter(fx["fs"], nchan=fx["nchan"])
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        mid = [r for r in fx["reads"] if "final" not in r]
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        it = iter(mid)
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, st = m.read(st)
+                rec = next(it)
+                tag = f"{prefix}/{fx['signal']} blk {rec['block']}"
+                for c in range(fx["nchan"]):
+                    for key in ("v_rms", "v_peak", "m_peak", "m_rms", "dr"):
+                        got = float(np.asarray(out[key])[c])
+                        want = rec["ch"][c][key]
+                        assert abs(got - want) <= TOL_DB, (tag, key, c, got, want)
+                if fx["nchan"] > 1:
+                    got = float(out["dr_total"])
+                    assert abs(got - rec["dr_total"]) <= TOL_DB, (tag, got, rec)
+                assert float(out["block_count"]) == rec["block_count"], tag
+        # exact structural parity: histograms, window count, top-2 peaks
+        assert int(st.num_windows) == final["num_fragments"], fx["signal"]
+        np.testing.assert_array_equal(
+            np.asarray(st.hist), np.asarray(final["hist"]), err_msg=fx["signal"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.peak_top2), np.asarray(final["peak_top2"]),
+            rtol=1e-6, atol=1e-9, err_msg=fx["signal"],
+        )
+
+
+def test_tpnrms_parity():
+    from meters_lv2_tpu.models.dr14 import TPnRMSMeter
+
+    for fx in _fixtures("tpnrms"):
+        m = TPnRMSMeter(fx["fs"], nchan=fx["nchan"])
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        it = iter([r for r in fx["reads"] if "final" not in r])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, st = m.read(st)
+                rec = next(it)
+                for c in range(fx["nchan"]):
+                    for key in ("v_rms", "v_peak", "m_peak", "m_rms"):
+                        got = float(np.asarray(out[key])[c])
+                        want = rec["ch"][c][key]
+                        assert abs(got - want) <= TOL_DB, (
+                            fx["signal"], rec["block"], key, c, got, want)
+
+
+def test_sigdist_parity():
+    """361-bin histogram exact; running avg / Welford variance vs the
+    reference's sequential double-precision loop (sigdistlv2.c:298-326)."""
+    from meters_lv2_tpu.models.sigdist import SigDistMeter
+
+    for fx in _fixtures("sigdist"):
+        m = SigDistMeter(fx["fs"])
+        x = _stream(fx)[0]  # reference meters channel 0 only
+        st = m.init(())
+        upd = jax.jit(m.update)
+        mid = [r for r in fx["reads"] if "final" not in r]
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        it = iter(mid)
+        for b in range(len(x) // fx["block"]):
+            st = upd(st, jnp.asarray(x[b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, st = m.read(st)
+                rec = next(it)
+                assert int(out["hist_max"]) == rec["hist_max"], rec["block"]
+                # peak-bin ties: reference keeps first-to-reach; we take
+                # argmax — assert our bin holds the max count
+                pb = int(out["hist_peak_bin"])
+                assert int(np.asarray(out["hist"])[pb]) == rec["hist_max"]
+                assert int(out["integration_time"]) == rec["time"]
+                np.testing.assert_allclose(
+                    float(out["hist_avg"]), rec["hist_avg"], rtol=1e-3, atol=0.1)
+                np.testing.assert_allclose(
+                    float(out["hist_var"]), rec["hist_var"], rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(st.hist), np.asarray(final["hist"]),
+            err_msg=fx["signal"],
+        )
+
+
+def test_bitmeter_parity():
+    """IEEE-754 field statistics: exact integer equality of every counter
+    region vs the reference float_stats loop (bitmeter.c:63-105)."""
+    from meters_lv2_tpu.models.bitmeter import BitMeter
+
+    for fx in _fixtures("bitmeter"):
+        m = BitMeter(fx["fs"])
+        x = _stream(fx)[0]
+        st = m.init(())
+        upd = jax.jit(m.update)
+        for b in range(len(x) // fx["block"]):
+            st = upd(st, jnp.asarray(x[b * fx["block"] : (b + 1) * fx["block"]]))
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        out, _ = m.read(st)
+        histS = np.asarray(final["histS"])
+        sig = fx["signal"]
+        np.testing.assert_array_equal(np.asarray(out["hit"]), histS[0:280], err_msg=sig)
+        np.testing.assert_array_equal(np.asarray(out["one"]), histS[280:560], err_msg=sig)
+        np.testing.assert_array_equal(np.asarray(out["dset"]), histS[560:583], err_msg=sig)
+        for key in ("zero", "pos", "nan", "inf", "den"):
+            assert int(out[key]) == final[key], (sig, key, int(out[key]), final[key])
+        assert int(out["integration_time"]) == final["time"], sig
+        np.testing.assert_allclose(float(out["max"]), final["max"], rtol=1e-6)
+        np.testing.assert_allclose(float(out["min"]), final["min"], rtol=1e-6)

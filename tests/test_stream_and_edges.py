@@ -54,7 +54,10 @@ def test_tiny_and_odd_blocks():
     # tiny 4-sample blocks and odd sizes interleaved
     for n in (4, 4, 100, 8, 2400, 52, 4800):
         st = upd(st, jnp.asarray(0.1 * rng.standard_normal((2, n)), jnp.float32))
-    assert int(st.n_samples) == 4 + 4 + 100 + 8 + 2400 + 52 + 4800
+    assert (
+        int(st.n_lo) + (int(st.n_hi) << 30)
+        == 4 + 4 + 100 + 8 + 2400 + 52 + 4800
+    )
 
 
 def test_integr_pause_resume():

@@ -46,6 +46,26 @@ CASES = [
     ("truepeak_44k", 2, ["intersample_peak"], 6.0, 1024, 16, 44100),
     ("spectrum_44k", 2, ["mix"], 4.0, 1024, 16, 44100),
     ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
+    # DR-14: >=5 complete 3 s (144001-sample) windows, incl. a silence-gated
+    # stretch; read cadence = the km/tp read-reset parity contract
+    ("dr14", 2, ["mix", "silence_then_tone", "sine997"], 16.0, 1024, 47),
+    ("dr14mono", 1, ["mix"], 16.0, 1024, 47),
+    ("tpnrms", 2, ["mix", "bursts"], 6.0),
+    # sigdist: signals with all samples in the 361-bin range (out-of-range
+    # samples desync the reference's Welford count quirk, sigdistlv2.c:317)
+    ("sigdist", 1, ["mix", "sine997", "clipped"], 6.0),
+    ("bitmeter", 1, ["weird_floats", "mix"], 2.0),
+    # FFT meters + goniometer (fftw-free golden path in golden_main.cc).
+    # block=960 divides hop=ceil(48000/25)=1920, so the reference's
+    # block-quantized analysis points land exactly on hop multiples —
+    # frame-exact comparison with the TPU STFT
+    ("stft", 2, ["mix", "sine997"], 2.0, 960, 2, FS, ["512", "25"]),
+    # block NOT dividing the hop: pins fftx's quantized-hop placement
+    ("stft_oddblock", 2, ["mix"], 2.0, 1024, 2, FS, ["512", "25"]),
+    ("phasewheel", 2, ["mix", "sine997"], 2.0, 960, 5, FS, ["128"]),
+    ("stereoscope", 2, ["mix", "noise"], 2.0, 960, 5, FS, ["128"]),
+    ("goniometer", 2, ["mix", "sine997"], 2.0, 1024, 8, FS, ["4"]),
+    ("goniometer_os1", 2, ["mix"], 2.0, 1024, 8, FS, ["1"]),
 ]
 
 
@@ -56,8 +76,11 @@ def main():
         block = case[4] if len(case) > 4 else BLOCK
         read_every = case[5] if len(case) > 5 else READ_EVERY
         rate = case[6] if len(case) > 6 else FS
+        extra = case[7] if len(case) > 7 else []
         gmeter = meter
-        for prefix in ("ebur128", "vu", "kmeter", "truepeak", "spectrum"):
+        for prefix in ("ebur128", "vu", "kmeter", "truepeak", "spectrum",
+                       "dr14", "tpnrms", "sigdist", "bitmeter", "stft",
+                       "phasewheel", "stereoscope", "goniometer"):
             if meter.startswith(prefix):
                 gmeter = prefix
         for sig in signals:
@@ -76,7 +99,7 @@ def main():
             try:
                 res = subprocess.run(
                     [GOLDEN, gmeter, str(rate), str(block), str(read_every),
-                     str(nchan), raw],
+                     str(nchan), raw, *extra],
                     capture_output=True, text=True, check=True,
                 )
             finally:
@@ -90,6 +113,7 @@ def main():
                 "seconds": seconds,
                 "block": block,
                 "read_every": read_every,
+                "extra": extra,
                 "reads": lines,
             }
             path = os.path.join(OUT, f"{meter}_{sig}.json")
