@@ -99,6 +99,48 @@ def test_sharded_r128_matches_serial():
     )
 
 
+def test_sharded_r128_radar_matches_serial():
+    """Radar rings (fragment-rate interval maxima) from the sp-sharded
+    analysis == the serial meter's, incl. intervals straddling shards."""
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.parallel import make_mesh
+    from meters_lv2_tpu.parallel.r128_sharded import analyze_r128
+
+    # radar interval not divisible by the per-shard length -> straddling
+    m = EbuR128Meter(FS, nchan=2, radar_seconds=42.0)
+    assert m.radar_spd == 5600
+    mesh = make_mesh(dp=4, sp=2)
+    x = make_signal("bursts", 12.0)
+    xs = np.stack([x, 0.5 * x, 0.25 * x, 2.0 * x]).astype(np.float32)
+    out = analyze_r128(m, jnp.asarray(xs), mesh)
+
+    st = m.init((4,))
+    st = jax.jit(m.update)(st, jnp.asarray(xs))
+    np.testing.assert_allclose(
+        np.asarray(out["radar_m"]), np.asarray(st.radar_m), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["radar_s"]), np.asarray(st.radar_s), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["radar_pos"]), np.asarray(st.radar_pos)
+    )
+
+
+def test_sharded_r128_rejects_short_shards():
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.parallel import make_mesh
+    from meters_lv2_tpu.parallel.r128_sharded import analyze_r128
+    import pytest
+
+    m = EbuR128Meter(FS, nchan=2)
+    mesh = make_mesh(dp=2, sp=4)
+    # 2 s / 4 sp-shards = 10 fragments per shard < 59
+    xs = np.zeros((2, 2, FS * 2), np.float32)
+    with pytest.raises(AssertionError, match="59 fragments"):
+        analyze_r128(m, jnp.asarray(xs), mesh)
+
+
 def test_graft_entry():
     import __graft_entry__ as g
 
