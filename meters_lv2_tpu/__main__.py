@@ -98,13 +98,13 @@ def main(argv=None):
     x = np.zeros((B, C, Tpad), np.float32)
     x[:, :, :T] = batch.data
 
-    @jax.jit
-    def analyze(x):
-        st = pipe.init((B,))
-        st = pipe.run_stream(st, x, chunk)
-        return pipe.read(st)
-
-    outs, _ = analyze(jnp.asarray(x))
+    # measure each file over exactly its own length (4-sample grain):
+    # padding past a file's end is never processed, matching a per-file
+    # reference run (src/meters.cc:298-331, one run() stream per track)
+    lengths = (np.asarray(batch.lengths) // 4) * 4
+    st = pipe.init((B,))
+    st = pipe.run_stream_ragged(st, jnp.asarray(x), lengths, chunk)
+    outs, _ = jax.jit(pipe.read)(st)
 
     results = []
     for i, path in enumerate(args.files):

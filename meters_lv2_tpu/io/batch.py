@@ -3,9 +3,10 @@ fixed-shape [B, C, T] tensors the TPU pipeline consumes.
 
 The reference's throughput axis is "one plugin instance per track"; here a
 thousand files become one batch.  Files are right-padded with silence to a
-common (block-aligned) length; per-file valid lengths ride along so
-readouts can mask padding effects (silence contributes no loudness points
-above the histogram floor and no peaks).
+common (block-aligned) length; per-file valid lengths ride along and
+parallel.pipeline.run_stream_ragged consumes them so each file is measured
+over exactly its own samples — trailing padding is never processed and
+per-file readouts equal a serial per-file run.
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # how each meter family consumes the [..., C, T] pipeline input
 _MODES = {
@@ -119,4 +120,70 @@ class MeterPipeline:
             return self.update(st, xc), ()
 
         state, _ = jax.lax.scan(step, state, xs)
+        return state
+
+    def _freeze(self, old, new, alive):
+        """Per-stream select: keep `new` where alive else `old` (alive: [B])."""
+
+        def sel(a, b):
+            m = alive.reshape(alive.shape + (1,) * (a.ndim - alive.ndim))
+            return jnp.where(m, b, a)
+
+        return jax.tree_util.tree_map(sel, old, new)
+
+    def run_stream_ragged(self, state, x, lengths, chunk: int):
+        """Length-exact streaming over a right-padded ragged batch.
+
+        Each stream i is measured over exactly lengths[i] samples — padding
+        past a file's end is never processed, so per-file readouts equal a
+        serial per-file run (the reference's one-run()-stream-per-track
+        semantics, src/meters.cc:298-331).  Two phases:
+
+          1. one lax.scan over `chunk`-sized steps; a stream's state is
+             frozen once its remaining full chunks are consumed;
+          2. the sub-chunk tails, grouped by (4-aligned) tail length: one
+             batched update per distinct tail length, merged per-stream.
+
+        lengths must be multiples of 4 (the framework's 4-sample grain);
+        x: [B, C, T] with T % chunk == 0 and T >= max(lengths).
+        Not jittable as a whole (phase 2 shapes depend on `lengths`), but
+        each phase is jit-compiled; distinct tail lengths each compile one
+        small update (cached across batches).
+        """
+        lengths = np.asarray(lengths)
+        B, C, T = x.shape
+        assert T % chunk == 0 and (lengths % 4 == 0).all() and lengths.max() <= T
+        n_steps = T // chunk
+        full_chunks = jnp.asarray(lengths // chunk, jnp.int32)
+
+        xs = jnp.moveaxis(x.reshape(B, C, n_steps, chunk), -2, 0)
+
+        @jax.jit
+        def phase1(state, xs):
+            def step(st, inp):
+                xc, j = inp
+                new = self.update(st, xc)
+                return self._freeze(st, new, j < full_chunks), ()
+
+            st, _ = jax.lax.scan(
+                step, state, (xs, jnp.arange(n_steps, dtype=jnp.int32))
+            )
+            return st
+
+        state = phase1(state, xs)
+
+        tails = lengths % chunk
+        starts = (lengths // chunk) * chunk
+        xh = np.asarray(x)
+
+        @jax.jit
+        def tail_update(state, xt, in_group):
+            return self._freeze(state, self.update(state, xt), in_group)
+
+        for t in sorted(set(int(v) for v in tails if v > 0)):
+            group = tails == t
+            xt = np.zeros((B, C, t), np.float32)
+            for i in np.nonzero(group)[0]:
+                xt[i] = xh[i, :, starts[i] : starts[i] + t]
+            state = tail_update(state, jnp.asarray(xt), jnp.asarray(group))
         return state

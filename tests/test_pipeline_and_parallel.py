@@ -304,3 +304,74 @@ def test_cli_all_meters(tmp_path, capsys):
     assert rc == 0
     rows = json.loads(capsys.readouterr().out)
     assert set(METER_CHOICES) <= set(rows[0].keys())
+
+
+def test_ragged_batch_matches_per_file_serial():
+    """Length-aware readout: a ragged (right-padded) batch through
+    run_stream_ragged reports, for every file, exactly what a serial
+    per-file run reports — trailing padding is never measured
+    (reference: one run() stream per track, src/meters.cc:298-331)."""
+    from meters_lv2_tpu.models.cor import CorrelationMeter
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.models.kmeter import K20Meter
+    from meters_lv2_tpu.parallel.pipeline import MeterPipeline
+
+    rng = np.random.default_rng(11)
+    lens = [4 * 48000 + 2400, 2 * 48000 + 96, 5 * 48000]  # ragged, %4 == 0
+    files = []
+    for i, L in enumerate(lens):
+        t = np.arange(L) / FS
+        amp = 0.2 + 0.15 * i
+        l = amp * np.sin(2 * np.pi * (300 + 200 * i) * t)
+        r = amp * 0.7 * np.sin(2 * np.pi * (500 + 100 * i) * t + 0.3)
+        files.append(np.stack([l, r]).astype(np.float32))
+
+    def mk():
+        return MeterPipeline(
+            {
+                "r128": EbuR128Meter(FS, nchan=2),
+                "k20": K20Meter(FS),
+                "cor": CorrelationMeter(FS),
+            },
+            nchan=2,
+        )
+
+    chunk = FS  # 1 s scan steps; boundaries fall mid-chunk for files 0, 1
+    T = max(lens)
+    Tpad = ((T + chunk - 1) // chunk) * chunk
+    x = np.zeros((len(files), 2, Tpad), np.float32)
+    for i, f in enumerate(files):
+        x[i, :, : f.shape[1]] = f
+
+    pipe = mk()
+    st = pipe.init((len(files),))
+    st = pipe.run_stream_ragged(st, jnp.asarray(x), np.asarray(lens), chunk)
+    outs, _ = pipe.read(st)
+
+    for i, f in enumerate(files):
+        ref_pipe = mk()
+        rst = ref_pipe.init(())
+        rst = jax.jit(ref_pipe.update)(rst, jnp.asarray(f))
+        refs, _ = ref_pipe.read(rst)
+
+        np.testing.assert_array_equal(
+            np.asarray(st["r128"].hist_m)[i],
+            np.asarray(rst["r128"].hist_m),
+            err_msg=f"file {i} hist_m",
+        )
+        for key in ("loudness_M", "loudness_S", "max_M", "integrated", "dbtp"):
+            g = float(np.asarray(outs["r128"][key])[i])
+            w = float(np.asarray(refs["r128"][key]))
+            assert abs(g - w) < 1e-4, (i, key, g, w)
+        np.testing.assert_allclose(
+            np.asarray(outs["k20"]["rms"])[i],
+            np.asarray(refs["k20"]["rms"]),
+            rtol=1e-5, err_msg=f"file {i} k20 rms",
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["cor"])[i] if not isinstance(outs["cor"], dict)
+            else np.asarray(outs["cor"]["correlation"])[i],
+            np.asarray(refs["cor"]) if not isinstance(refs["cor"], dict)
+            else np.asarray(refs["cor"]["correlation"]),
+            atol=1e-6, err_msg=f"file {i} correlation",
+        )
