@@ -73,6 +73,10 @@ def main(argv=None):
     ap.add_argument("--json", action="store_true", help="machine output")
     ap.add_argument("--chunk-seconds", type=float, default=2.0)
     ap.add_argument("--ref-level", type=float, default=-18.0)
+    ap.add_argument(
+        "--target-rate", type=int, default=None,
+        help="resample mixed-rate inputs to this rate on ingest",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -81,7 +85,7 @@ def main(argv=None):
     from .io.batch import load_files
     from .parallel.pipeline import MeterPipeline
 
-    batch = load_files(args.files)
+    batch = load_files(args.files, target_rate=args.target_rate)
     B, C, T = batch.data.shape
     fs = batch.rate
 

@@ -47,17 +47,37 @@ def assemble(
     return AudioBatch(data=out, lengths=np.minimum(lens, T), rate=rate)
 
 
-def load_files(paths: list[str], expect_rate: int | None = None) -> AudioBatch:
-    """Read WAVs (native decoder) and assemble a batch."""
+def load_files(
+    paths: list[str],
+    expect_rate: int | None = None,
+    target_rate: int | None = None,
+) -> AudioBatch:
+    """Read WAVs (native decoder) and assemble a batch.
+
+    target_rate: normalize a mixed-rate set to one meter rate via the
+    arbitrary-ratio polyphase resampler (ops.resample.RationalResampler —
+    the zita Resampler is generic, resampler.cc:67-120).  Without it, all
+    files must share one rate.
+    """
     from .wav import read_wav
 
     arrs = []
     rate = None
     for p in paths:
         x, r = read_wav(p)
+        if target_rate is not None and r != target_rate:
+            import numpy as _np
+
+            from ..ops.resample import resample_signal
+
+            x = _np.asarray(resample_signal(x, r, target_rate))
+            r = target_rate
         if rate is None:
             rate = r
-        assert r == rate, f"sample-rate mismatch: {p} has {r}, want {rate}"
+        assert r == rate, (
+            f"sample-rate mismatch: {p} has {r}, want {rate} "
+            f"(pass target_rate= to resample on ingest)"
+        )
         arrs.append(x)
     if expect_rate is not None:
         assert rate == expect_rate

@@ -82,6 +82,9 @@ class EbuR128State:
     radar_cur_m: jax.Array  # [...] running max since last radar point
     radar_cur_s: jax.Array  # [...]
     radar_spd_cur: jax.Array  # [...] int32 samples into current interval
+    radar_spd: jax.Array  # [...] int32 samples per radar point — runtime-
+    # mutable like CTL_RADARTIME (src/ebulv2.cc:75-78,312-318); the ring and
+    # the interval counter carry over a change, as in the reference
 
 
 jax.tree_util.register_dataclass(
@@ -91,7 +94,7 @@ jax.tree_util.register_dataclass(
         "max_m", "max_s", "hist_m", "hist_s", "count_m", "count_s",
         "div1", "div2", "dbtp", "integrating", "n_lo", "n_hi",
         "radar_m", "radar_s", "radar_pos", "radar_cur_m", "radar_cur_s",
-        "radar_spd_cur",
+        "radar_spd_cur", "radar_spd",
     ],
     meta_fields=[],
 )
@@ -153,6 +156,7 @@ class EbuR128Meter:
             radar_cur_m=jnp.full(batch_shape, -jnp.inf, self.dtype),
             radar_cur_s=jnp.full(batch_shape, -jnp.inf, self.dtype),
             radar_spd_cur=i(),
+            radar_spd=jnp.full(batch_shape, self.radar_spd, jnp.int32),
         )
 
     def integr_start(self, state):  # ebu_r128_proc.h integr_start/pause
@@ -276,7 +280,7 @@ class EbuR128Meter:
         # fires at fragment j iff floor((S_j - 1)/spd) increments, so fire
         # events, segmented maxes and ring writes are all masked reductions
         # (a 42-step sequential scan here cost half the update time).
-        spd = self.radar_spd
+        spd = state.radar_spd[..., None]  # runtime-mutable interval
         adv = jnp.where(slot == 0, fragm - off[..., None], fragm)
         advm = jnp.where(valid, jnp.broadcast_to(adv, valid.shape), 0)
         S = state.radar_spd_cur[..., None] + jnp.cumsum(advm, -1)
@@ -315,7 +319,9 @@ class EbuR128Meter:
         rcs = jnp.maximum(rcs, jnp.where(keep_carry, state.radar_cur_s, -jnp.inf))
 
         off_new = (off + T) % fragm
-        rspd = S[..., -1] - spd * total + jnp.where(ncomp > 0, off_new, T)
+        rspd = S[..., -1] - state.radar_spd * total + jnp.where(
+            ncomp > 0, off_new, T
+        )
 
         n_int = jnp.where(state.integrating, ncomp, 0)
         n_lo = state.n_lo + jnp.where(state.integrating, T, 0)
@@ -345,6 +351,7 @@ class EbuR128Meter:
             radar_cur_m=rcm,
             radar_cur_s=rcs,
             radar_spd_cur=rspd,
+            radar_spd=state.radar_spd,
         )
 
     # -- gated statistics (ebu_r128_proc.cc:82-150) ---------------------------
@@ -420,6 +427,7 @@ class EbuR128Meter:
             "radar_m": state.radar_m,
             "radar_s": state.radar_s,
             "radar_pos": state.radar_pos,
+            "radar_spd": state.radar_spd,
         }, state
 
     def total_samples(self, state: EbuR128State):
@@ -442,4 +450,17 @@ class EbuR128Meter:
             radar_cur_m=jnp.full(b, -jnp.inf, self.dtype),
             radar_cur_s=jnp.full(b, -jnp.inf, self.dtype),
             radar_spd_cur=jnp.zeros_like(state.radar_spd_cur),
+        )
+
+    def set_radar_speed(self, state: EbuR128State, seconds) -> EbuR128State:
+        """CTL_RADARTIME (src/ebulv2.cc:75-78,312-318): change the radar
+        interval at runtime — a pure state update, no recompile; `seconds`
+        may be traced.  The ring contents and the open-interval counter
+        carry over unchanged, as in the reference (the GUI merely re-reads
+        the ring)."""
+        sec = jnp.clip(jnp.asarray(seconds, jnp.float32), 30.0, 600.0)
+        spd = jnp.round(sec * self.fs / RADAR_POINTS).astype(jnp.int32)
+        spd = jnp.maximum(spd, 4096)
+        return dataclasses.replace(
+            state, radar_spd=jnp.broadcast_to(spd, state.radar_spd.shape)
         )

@@ -32,10 +32,12 @@ class SpectrumState:
     zf: jax.Array  # [..., 30, 12] filter bank state
     val: jax.Array  # [..., 30] smoothed band power
     peak: jax.Array  # [..., 30] peak-hold of smoothed power
+    omega: jax.Array  # [] display-smoother coefficient (runtime-mutable,
+    # like the reference's UI speed port, spectrumlv2.c:161-177)
 
 
 jax.tree_util.register_dataclass(
-    SpectrumState, data_fields=["zf", "val", "peak"], meta_fields=[]
+    SpectrumState, data_fields=["zf", "val", "peak", "omega"], meta_fields=[]
 )
 
 
@@ -57,20 +59,28 @@ class SpectrumAnalyzer:
                 design.modal_balance(*design.biquad_cascade_state_space(stages))
             )
         self.bank = lti.BankedLTISystem(systems, dtype)
-        self.set_speed(speed)
+        self.speed = min(max(float(speed), 0.01), 15.0)
+        self.omega = self._omega(self.speed)
         self.dtype = dtype
 
-    def set_speed(self, speed: float):
-        v = min(max(float(speed), 0.01), 15.0)  # spectrumlv2.c:161-163
-        self.speed = v
-        self.omega = 1.0 - math.exp(-2.0 * math.pi * v / self.fs)
-        self.smoother = lti.one_pole_system(self.omega, jnp.float32)
+    def _omega(self, speed):
+        return 1.0 - math.exp(-2.0 * math.pi * speed / self.fs)
+
+    def set_speed(self, state: SpectrumState, speed) -> SpectrumState:
+        """Runtime speed change (UI speed port, spectrumlv2.c:161-177) —
+        a pure state update: no recompilation, speed may be traced."""
+        v = jnp.clip(jnp.asarray(speed, self.dtype), 0.01, 15.0)
+        omega = 1.0 - jnp.exp(-2.0 * math.pi * v / self.fs)
+        return dataclasses.replace(
+            state, omega=jnp.asarray(omega, self.dtype)
+        )
 
     def init(self, batch_shape=()) -> SpectrumState:
         return SpectrumState(
             zf=self.bank.init(batch_shape),
             val=jnp.zeros((*batch_shape, N_BANDS), self.dtype),
             peak=jnp.zeros((*batch_shape, N_BANDS), self.dtype),
+            omega=jnp.asarray(self.omega, self.dtype),
         )
 
     def update(self, state: SpectrumState, x: jax.Array, stereo: bool = False) -> SpectrumState:
@@ -78,7 +88,10 @@ class SpectrumAnalyzer:
             x = 0.5 * (x[..., 0, :] + x[..., 1, :])
         v, zf = self.bank.apply(x, state.zf)  # [..., 30, T]
         sq = jnp.square(v)
-        vs, val = self.smoother.apply(sq, state.val[..., None])
+        # display smoother with the state-resident (runtime-mutable) omega
+        vs, val = lti.one_pole_apply_traced(
+            state.omega, sq, state.val[..., None]
+        )
         val = val[..., 0]
         # peak-hold tracks the smoothed value maximum (spectrumlv2.c:224)
         peak = jnp.maximum(state.peak, jnp.max(vs, axis=-1))
@@ -86,7 +99,7 @@ class SpectrumAnalyzer:
         zf = jnp.where(jnp.isfinite(zf), zf, 0.0)
         val = jnp.where(jnp.isfinite(val), val, 0.0) + 1e-20
         peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
-        return SpectrumState(zf=zf, val=val, peak=peak)
+        return SpectrumState(zf=zf, val=val, peak=peak, omega=state.omega)
 
     def read(self, state: SpectrumState):
         """(bands_db[30], peaks_db[30]) per spectrumlv2.c:240-248."""

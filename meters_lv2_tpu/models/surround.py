@@ -58,14 +58,34 @@ class SurroundMeter:
             cor=self.cor.init((*batch_shape, self.npairs)),
         )
 
-    def update(self, state: SurroundState, x: jax.Array) -> SurroundState:
-        """x: [..., C, T]."""
+    def update(
+        self, state: SurroundState, x: jax.Array, pairs=None
+    ) -> SurroundState:
+        """x: [..., C, T].
+
+        `pairs` optionally re-routes the correlators at runtime ([P, 2]
+        int array, may be traced) — the reference reads its surc_a/surc_b
+        control ports every run() (src/surmeter.c:119-128), so routing is a
+        per-call input, not a rebuild.  Correlator state carries across a
+        routing change, as in the reference.  Channel selection is a
+        one-hot matmul (traced-index gathers serialize on TPU).
+        """
         assert x.shape[-2] == self.nchan
         km = self.km.update(state.km, x)
-        a_idx = jnp.array([p[0] for p in self.pairs])
-        b_idx = jnp.array([p[1] for p in self.pairs])
-        lr = jnp.stack([x[..., a_idx, :], x[..., b_idx, :]], axis=-2)
-        # [..., P, 2, T]
+        if pairs is None:
+            a_idx = jnp.array([p[0] for p in self.pairs])
+            b_idx = jnp.array([p[1] for p in self.pairs])
+        else:
+            pr = jnp.asarray(pairs)
+            assert pr.shape == (self.npairs, 2), pr.shape
+            # rintf + clamp to the channel count (surmeter.c:122-125)
+            a_idx = jnp.clip(pr[:, 0].astype(jnp.int32), 0, self.nchan - 1)
+            b_idx = jnp.clip(pr[:, 1].astype(jnp.int32), 0, self.nchan - 1)
+        sel_a = jax.nn.one_hot(a_idx, self.nchan, dtype=x.dtype)  # [P, C]
+        sel_b = jax.nn.one_hot(b_idx, self.nchan, dtype=x.dtype)
+        xa = jnp.einsum("pc,...ct->...pt", sel_a, x)
+        xb = jnp.einsum("pc,...ct->...pt", sel_b, x)
+        lr = jnp.stack([xa, xb], axis=-2)  # [..., P, 2, T]
         cor = self.cor.update(state.cor, lr)
         return SurroundState(km=km, cor=cor)
 

@@ -195,6 +195,42 @@ def zita_coeff_table(fr: float, hl: int, np_phases: int) -> np.ndarray:
     return np.stack(rows)
 
 
+def rational_resample_kernel(
+    fs_in: int, fs_out: int, hl: int = 32, frel: float | None = None
+):
+    """Generic-ratio zita polyphase filters (resampler.cc:67-120,189-255).
+
+    The reference resampler advances an output phase by s = fs_in/gcd per
+    output over n = fs_out/gcd phases, consuming floor(phase/n) inputs; its
+    two-sided MAC over 2h taps is equivalent to one 2h-tap FIR per output
+    phase.  Returns (W [n, 2h], n, s, h): output j uses input window
+    starting at floor(j*s/n) with filter W[j % n].
+
+    Ratio/table adjustment per resampler.cc:66-73,90-105: default
+    frel = 1 - 2.6/hl; for downsampling (r < 1) the cutoff scales by r and
+    the half-length stretches to ceil(hl/r).
+    """
+    g = math.gcd(int(fs_out), int(fs_in))
+    n = int(fs_out) // g
+    s = int(fs_in) // g
+    r = fs_out / fs_in
+    assert 16.0 * r >= 1.0 and n <= 1000, (fs_in, fs_out, n)
+    if frel is None:
+        assert 8 <= hl <= 96, hl
+        frel = 1.0 - 2.6 / hl
+    h = hl
+    if r < 1.0:
+        frel *= r
+        h = int(math.ceil(hl / r))
+    ctab = zita_coeff_table(frel, h, n)  # [(n+1), h]
+    W = np.zeros((n, 2 * h), np.float64)
+    for p in range(n):
+        ph = (p * s) % n
+        W[p, :h] = ctab[ph]          # forward taps, c1 = ctab[hl*ph]
+        W[p, h:] = ctab[n - ph][::-1]  # backward taps, c2 = ctab[hl*(np-ph)]
+    return W, n, s, h
+
+
 def upsample_poly_kernel(factor: int, hl: int) -> np.ndarray:
     """General integer-factor polyphase interpolation kernel [factor, 2*hl].
 

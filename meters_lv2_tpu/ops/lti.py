@@ -348,6 +348,63 @@ class BankedLTISystem:
         return y[..., 0], s
 
 
+def one_pole_block_op_traced(omega, block: int, dtype=jnp.float32) -> LTIBlockOp:
+    """Block operator for z' = (1-w) z + w x, y = z', with a TRACED omega.
+
+    Enables runtime-mutable smoothing speeds (the reference changes its
+    display speed via a control port without rebuilding anything,
+    src/spectrumlv2.c:161-177) inside one compiled program: the Toeplitz /
+    state maps are computed in-graph from omega.  Powers go through
+    exp(k*log1p(-w)) so tiny omegas (slow speeds) don't lose precision to
+    the f32 representation of 1-w.
+    """
+    om = jnp.asarray(omega, dtype)
+    l1 = jnp.log1p(-om)  # log(1 - w)
+    kk = jnp.arange(block + 1, dtype=dtype)
+    pw = jnp.exp(kk * l1)  # (1-w)^k, k = 0..block
+    idx = jnp.arange(block)[:, None] - jnp.arange(block)[None, :]
+    kmat = jnp.where(
+        idx >= 0, om * jnp.exp(idx.astype(dtype) * l1), jnp.zeros((), dtype)
+    )  # K[i, j] = w (1-w)^{i-j}
+    return LTIBlockOp(
+        kmat=kmat.T,  # stored transposed, as build_lti_block_op does
+        sy=pw[1 : block + 1][None, :],  # C A^i = (1-w)^{i+1}
+        at=pw[block : block + 1][None, :],  # A^block
+        g=(om * pw[:block][::-1])[:, None],  # A^{c-1-j} B
+        block=block,
+        d=1,
+        m=1,
+        p=1,
+    )
+
+
+def one_pole_apply_traced(
+    omega, u: jax.Array, s0: jax.Array, prefer_block: int = 128
+):
+    """LTISystem.apply equivalent for the traced-omega one-pole.
+
+    u: [..., T]; s0: [..., 1]; omega: scalar (traced OK).
+    Returns (y [..., T], s [..., 1])."""
+    T = u.shape[-1]
+    main = (T // prefer_block) * prefer_block
+    ys = []
+    s = s0
+    if main:
+        y, s = lti_scan(
+            one_pole_block_op_traced(omega, prefer_block, u.dtype),
+            u[..., :main, None], s,
+        )
+        ys.append(y[..., 0])
+    if T - main:
+        y, s = lti_scan(
+            one_pole_block_op_traced(omega, T - main, u.dtype),
+            u[..., main:, None], s,
+        )
+        ys.append(y[..., 0])
+    y = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=-1)
+    return y, s
+
+
 def one_pole_system(w: float, dtype=jnp.float32) -> LTISystem:
     """z' = (1-w) z + w x ; y = z' (post-update value, as the meters read)."""
     A = np.array([[1.0 - w]])

@@ -180,3 +180,90 @@ def upsample4(x: jax.Array, hist: jax.Array) -> tuple[jax.Array, jax.Array]:
       reference (up[4t+ph] uses inputs ... x[t]); new_hist [..., 47].
     """
     return _upsample_blocked(x, hist, upsample4_kernel(_HL).astype(np.float32))
+
+
+class RationalResampler:
+    """Arbitrary-ratio polyphase resampler, zita-equivalent, as cycle GEMMs.
+
+    The reference's generic Resampler (resampler.cc:67-120,171-262) handles
+    any fs_in -> fs_out.  TPU formulation: with n = fs_out/gcd phases and
+    s = fs_in/gcd inputs per cycle, every cycle of n outputs is one GEMM of
+    an overlapping input frame [s + 2h - 1] against a dense [F, n] matrix —
+    all cycles batch into a single MXU matmul.
+
+    Streaming: apply() carries a 2h-1 sample history; a fresh (zeros)
+    history reproduces the reference primed with 2h-1 zero samples.
+    """
+
+    def __init__(self, fs_in: int, fs_out: int, hl: int = 32,
+                 frel: float | None = None, dtype=jnp.float32):
+        from .design import rational_resample_kernel
+
+        W, n, s, h = rational_resample_kernel(fs_in, fs_out, hl, frel)
+        self.fs_in, self.fs_out = int(fs_in), int(fs_out)
+        self.n, self.s, self.h = n, s, h
+        self.nh = 2 * h - 1
+        self.F = s + self.nh  # frame length per cycle
+        Wc = np.zeros((self.F, n), np.float32)
+        for p in range(n):
+            b = (p * s) // n
+            Wc[b : b + 2 * h, p] = W[p]
+        self._Wc = Wc  # numpy: trace-safe constant
+        self.dtype = dtype
+
+    def init(self, batch_shape=()) -> jax.Array:
+        return jnp.zeros((*batch_shape, self.nh), self.dtype)
+
+    def apply(self, x: jax.Array, hist: jax.Array):
+        """x [..., T] (T % s == 0), hist [..., 2h-1] ->
+        (y [..., T*n/s], new_hist)."""
+        *batch, T = x.shape
+        assert T % self.s == 0, (T, self.s)
+        ncyc = T // self.s
+        z = jnp.concatenate([hist, x], axis=-1)  # [..., nh + T]
+        s, nh = self.s, self.nh
+        blocks = z[..., nh:].reshape(*batch, ncyc, s)
+        if s >= nh:
+            # head of cycle c (= z[c*s : c*s+nh]) is the tail of block c-1;
+            # cycle 0's head is the carried history — no gathers needed
+            heads = jnp.concatenate(
+                [z[..., None, :nh], blocks[..., :-1, s - nh :]], axis=-2
+            )
+        else:
+            # nh spans multiple blocks: assemble from ceil(nh/s)+1 shifted
+            # reshapes of z (still O(1) ops, not O(ncyc))
+            cols = []
+            done = 0
+            while done < nh:
+                w = min(s, nh - done)
+                seg = z[..., done : done + ncyc * s].reshape(*batch, ncyc, s)
+                cols.append(seg[..., :w])
+                done += w
+            heads = jnp.concatenate(cols, axis=-1)
+        frames = jnp.concatenate(
+            [heads, blocks], axis=-1
+        )  # [..., ncyc, nh + s] = z[c*s : c*s + F]
+        from .lti import _HIGH
+
+        y = jnp.matmul(frames, jnp.asarray(self._Wc), precision=_HIGH)
+        return y.reshape(*batch, ncyc * self.n), z[..., -nh:]
+
+
+def resample_signal(x, fs_in: int, fs_out: int, hl: int = 32):
+    """Whole-array convenience: resample [..., T] from fs_in to fs_out.
+
+    Pads the tail with zeros to a whole number of polyphase cycles; returns
+    [..., ceil(T/s)*n] samples (the first T*fs_out/fs_in are the signal,
+    offset by the resampler's h-sample group delay)."""
+    if fs_in == fs_out:
+        return jnp.asarray(x)
+    rs = RationalResampler(fs_in, fs_out, hl)
+    T = x.shape[-1]
+    pad = (-T) % rs.s
+    if pad:
+        x = jnp.concatenate(
+            [jnp.asarray(x),
+             jnp.zeros((*x.shape[:-1], pad), jnp.asarray(x).dtype)], -1
+        )
+    y, _ = rs.apply(jnp.asarray(x), rs.init(x.shape[:-1]))
+    return y

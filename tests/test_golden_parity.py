@@ -242,7 +242,10 @@ def test_spectrum_parity():
                         if want <= -99.9:
                             assert got <= -99.0, (tag, i, got, want)
                         else:
-                            assert abs(got - want) < 0.02, (
+                            # the BASELINE.json +-0.01 dB budget: the banked
+                            # modal-balanced LTI holds the high-Q low bands
+                            # to ~0.0013 dB worst in f32
+                            assert abs(got - want) < TOL_DB, (
                                 f"spectrum/{fx['signal']} {tag} {i} "
                                 f"blk {rec['block']}: {got} vs {want}"
                             )

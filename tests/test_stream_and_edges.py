@@ -88,3 +88,103 @@ def test_spectrum_set_speed():
     os_, _ = slow.read(slow.update(slow.init(()), jnp.asarray(x[: FS // 8])))
     # after 125 ms the fast display has converged much further
     assert float(of["bands"][16]) > float(os_["bands"][16]) + 3.0
+
+
+def test_spectrum_runtime_speed_change_no_recompile():
+    """Display speed rides in state (spectrumlv2.c:161-177 changes it via a
+    control port at runtime): one compiled program serves any speed."""
+    import dataclasses
+    from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+
+    m = SpectrumAnalyzer(FS, speed=1.0)
+    t = np.arange(FS) / FS
+    x = (0.3 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    x1, x2 = jnp.asarray(x[: FS // 4]), jnp.asarray(x[FS // 4 : FS // 2])
+
+    @jax.jit
+    def run(speed):
+        st = m.init(())
+        st = m.update(st, x1)
+        st = m.set_speed(st, speed)
+        st = m.update(st, x2)
+        return m.read(st)[0]["bands"]
+
+    fast = np.asarray(run(10.0))
+    slow = np.asarray(run(0.1))
+    assert run._cache_size() == 1  # traced speed: no recompilation
+    assert fast[16] != slow[16]
+
+    # traced-speed result == eager run with the same omega swap
+    st = m.update(m.init(()), x1)
+    st = dataclasses.replace(
+        st, omega=jnp.float32(1.0 - np.exp(-2 * np.pi * 10.0 / FS))
+    )
+    st = m.update(st, x2)
+    ref = np.asarray(m.read(st)[0]["bands"])
+    # set_speed computes omega in f32 on device vs np.exp in f64: ~2e-4 dB
+    np.testing.assert_allclose(fast, ref, atol=1e-3)
+
+
+def test_radar_speed_runtime_change():
+    """CTL_RADARTIME mid-stream: ring + interval counter carry over, new
+    interval applies from the change on — in one compiled program."""
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+
+    m = EbuR128Meter(FS, nchan=2, radar_seconds=36.0)  # spd = 4800
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        0.2 * rng.standard_normal((2, FS)).astype(np.float32))
+
+    @jax.jit
+    def run(seconds):
+        st = m.init(())
+        st = m.update(st, x)  # 48000 samples @ spd 4800 -> 9 events fired
+        st = m.set_radar_speed(st, seconds)
+        st = m.update(st, x)
+        return st
+
+    st_a = run(36.0)   # unchanged speed
+    st_b = run(120.0)  # slower: spd = 16000
+    assert run._cache_size() == 1  # traced seconds: no recompilation
+
+    # unchanged speed == constructor-only meter over 2 s
+    st_ref = m.init(())
+    st_ref = jax.jit(m.update)(st_ref, jnp.concatenate([x, x], -1))
+    np.testing.assert_allclose(
+        np.asarray(st_a.radar_m), np.asarray(st_ref.radar_m), atol=1e-5)
+    assert int(st_a.radar_pos) == int(st_ref.radar_pos)
+
+    # slowed down: first 9 ring points intact, fewer new events after
+    np.testing.assert_allclose(
+        np.asarray(st_b.radar_m)[:9], np.asarray(st_ref.radar_m)[:9],
+        atol=1e-5)
+    assert int(st_b.radar_pos) < int(st_a.radar_pos)
+    assert int(st_b.radar_spd) == 16000
+
+
+def test_surround_pair_routing_runtime_change():
+    """surc_a/surc_b routing is a per-call input (src/surmeter.c:119-128):
+    rerouting mid-stream keeps correlator state and needs no recompile."""
+    from meters_lv2_tpu.models.surround import SurroundMeter
+
+    class Sur4(SurroundMeter):
+        nchan = 4
+
+    m = Sur4(FS)
+    rng = np.random.default_rng(7)
+    base = 0.3 * rng.standard_normal((FS // 2,)).astype(np.float32)
+    # ch0 == ch1 (correlated +1), ch2 == -ch3 (correlated -1)
+    x = jnp.asarray(np.stack([base, base, base, -base]))
+
+    @jax.jit
+    def run(pairs):
+        st = m.init(())
+        st = m.update(st, x, pairs=pairs)
+        out, _ = m.read(st)
+        return out["correlation"]
+
+    c1 = np.asarray(run(jnp.array([[0, 1], [2, 3], [0, 2], [1, 3]])))
+    c2 = np.asarray(run(jnp.array([[2, 3], [0, 1], [0, 3], [1, 2]])))
+    assert run._cache_size() == 1  # traced routing: one compile
+    assert c1[0] > 0.9 and c1[1] < -0.9
+    assert c2[0] < -0.9 and c2[1] > 0.9

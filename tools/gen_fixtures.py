@@ -66,6 +66,10 @@ CASES = [
     ("stereoscope", 2, ["mix", "noise"], 2.0, 960, 5, FS, ["128"]),
     ("goniometer", 2, ["mix", "sine997"], 2.0, 1024, 8, FS, ["4"]),
     ("goniometer_os1", 2, ["mix"], 2.0, 1024, 8, FS, ["1"]),
+    # arbitrary-ratio zita resampler: (block, read_every) carry
+    # (fs_out, hlen) for this mode
+    ("rresample_up", 2, ["mix"], 1.0, 48000, 32, 44100),
+    ("rresample_down", 2, ["intersample_peak"], 1.0, 44100, 32, 48000),
 ]
 
 
@@ -80,7 +84,8 @@ def main():
         gmeter = meter
         for prefix in ("ebur128", "vu", "kmeter", "truepeak", "spectrum",
                        "dr14", "tpnrms", "sigdist", "bitmeter", "stft",
-                       "phasewheel", "stereoscope", "goniometer"):
+                       "phasewheel", "stereoscope", "goniometer",
+                       "rresample"):
             if meter.startswith(prefix):
                 gmeter = prefix
         for sig in signals:

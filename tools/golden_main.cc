@@ -594,6 +594,37 @@ int main(int argc, char** argv) {
                 (long long)integration_time);
     for (int i = 0; i < HIST_LEN; ++i) std::printf("%s%d", i ? "," : "", histS[i]);
     std::printf("]}\n");
+  } else if (meter == "rresample") {
+    // generic-ratio zita Resampler (resampler.cc:67-120): fs = fs_in,
+    // block = fs_out, read_every = hlen (4-arg setup -> frel = 1-2.6/hl).
+    // A 2h-1 zero prefeed aligns the stream with the TPU resampler's
+    // zeros-history streaming start.
+    const int fs_out = block;
+    const int hlen = read_every;
+    Resampler src;
+    if (src.setup((unsigned)fs, (unsigned)fs_out, nchan, hlen)) {
+      std::fprintf(stderr, "rresample setup failed\n");
+      return 3;
+    }
+    const double r = (double)fs_out / fs;
+    const int h2 = (r < 1.0) ? (int)ceil(hlen / r) : hlen;
+    const long pre = 2 * h2 - 1;
+    std::vector<float> in((pre + nfr) * nchan, 0.f);
+    std::memcpy(&in[pre * nchan], inter.data(), nfr * nchan * sizeof(float));
+    const long out_cap = (long)((double)(pre + nfr) * r) + 8;
+    std::vector<float> out(out_cap * nchan, 0.f);
+    src.inp_count = pre + nfr;
+    src.inp_data = in.data();
+    src.out_count = out_cap;
+    src.out_data = out.data();
+    src.process();
+    const long produced = out_cap - src.out_count;
+    std::printf("{\"fs_in\": %g, \"fs_out\": %d, \"hlen\": %d, \"pre\": %ld, "
+                "\"produced\": %ld, \"data\": [",
+                fs, fs_out, hlen, pre, produced);
+    for (long i = 0; i < produced * nchan; ++i)
+      std::printf("%s%.9g", i ? "," : "", out[i]);
+    std::printf("]}\n");
   } else if (meter == "stft") {
     // raw streaming-STFT parity: per analysis dump power/phase/freq_at_bin
     // of channel 0.  argv[7] = window_size (default 512), argv[8] = fps.
