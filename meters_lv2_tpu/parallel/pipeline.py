@@ -126,6 +126,10 @@ class MeterPipeline:
         """Per-stream select: keep `new` where alive else `old` (alive: [B])."""
 
         def sel(a, b):
+            if a.ndim < alive.ndim:
+                # stream-shared config leaf (e.g. spectrum omega): not
+                # per-stream state, nothing to freeze
+                return b
             m = alive.reshape(alive.shape + (1,) * (a.ndim - alive.ndim))
             return jnp.where(m, b, a)
 
