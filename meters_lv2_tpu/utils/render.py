@@ -107,3 +107,91 @@ def radar_image(
         img[ys[ok], xs[ok], 1] = np.maximum(img[ys[ok], xs[ok], 1], g)
         img[ys[ok], xs[ok], 2] = 60
     return img
+
+
+def bitmeter_image(
+    hit: np.ndarray,
+    one: np.ndarray,
+    width: int = 120,
+    max_height: int = 72,
+) -> np.ndarray:
+    """Render the bit meter inline view -> [H, W, 4] RGBA.
+
+    Mirrors bit_render (src/bitmeter.c:420-539): 36 rows for absolute bit
+    positions 2^0 .. 2^-35 (histS index o = 153-k); each row is a bar
+    centered at mid-width whose half-length is the set-ratio one[o]/hit[o],
+    colored by significance band; dashed guides every 8 bits.  (The
+    reference's text fallbacks — 'Silence', NaN/Inf counters — are GUI
+    typography, not meter data, and are omitted.)
+    """
+    h = min(72, max_height) & ~1
+    img = np.zeros((h, width, 4), np.uint8)
+    img[..., :3] = 51  # .2 gray background
+    img[..., 3] = 255
+    xc = width // 2
+    xr = width // 2 - 4
+
+    # dashed guide rows at bits 0/8/16/24 (bitmeter.c:478-494)
+    for yy in (6, 22, 38, 54):
+        if yy < h:
+            img[yy, 0 : width - 8 : 4, :3] = 128
+
+    bands = [
+        (4, (230, 76, 0)),     # 2^0 .. 2^-3
+        (12, (178, 178, 0)),   # 2^-4 .. 2^-11
+        (20, (51, 230, 51)),   # 2^-12 .. 2^-19
+        (28, (0, 153, 0)),     # 2^-20 .. 2^-27
+        (36, (0, 0, 153)),     # 2^-28 .. 2^-35
+    ]
+    hit = np.asarray(hit)
+    one = np.asarray(one)
+    for k in range(36):
+        o = 153 - k
+        if o < 0 or o >= len(hit) or hit[o] == 0:
+            continue
+        xo = int(round(xr * float(one[o]) / float(hit[o])))
+        y = 2 * k
+        if y >= h:
+            break
+        color = next(c for lim, c in bands if k < lim)
+        img[y, max(xc - xo, 0) : min(xc + xo + 1, width), :3] = color
+    return img
+
+
+def sigdist_image(
+    hist: np.ndarray,
+    width: int = 240,
+    height: int = 120,
+    log_y: bool = True,
+) -> np.ndarray:
+    """Render the signal-distribution histogram view -> [H, W, 4] RGBA.
+
+    Mirrors gui/sdhmeter.c's linear-x histogram plot: 361 bins across the
+    width (sample value -1.2 .. +1.2, zero mark at DIST_ZERO), bar height
+    normalized to the peak count, optional log-y (y_log_pos = log(1+0.4 i),
+    sdhmeter.c:167-169); center/±1.0 gridlines.
+    """
+    hist = np.asarray(hist, np.float64)
+    nb = len(hist)  # 361
+    img = np.zeros((height, width, 4), np.uint8)
+    img[..., :3] = 30
+    img[..., 3] = 255
+
+    def ylp(v):
+        return np.log1p(0.4 * v)
+
+    peak = hist.max()
+    if peak > 0:
+        norm = ylp(hist) / ylp(peak) if log_y else hist / peak
+        xs = (np.arange(nb) * width) // nb
+        for i in range(nb):
+            bh = int(round(norm[i] * (height - 2)))
+            if bh > 0:
+                img[height - 1 - bh : height - 1, xs[i], :3] = (90, 200, 90)
+    # gridlines: zero center and +-1.0 full-scale (sdhmeter.c:234,283-292)
+    for frac, shade in ((180.0 / 360.0, 200), (30.0 / 360.0, 120),
+                        (330.0 / 360.0, 120)):
+        x = int(round(width * frac))
+        if 0 <= x < width:
+            img[:, x, :3] = np.maximum(img[:, x, :3], shade)
+    return img

@@ -201,3 +201,30 @@ def test_analyze_impulse_transfer():
     assert abs(level(10000) - 4.0) < 0.6         # +4 dB high shelf
     assert abs(level(50) - (-3.6)) < 1.0         # RLB high-pass @50 Hz
     assert level(25) < -7.5                       # deeper rolloff below
+
+
+def test_bitmeter_and_sigdist_render():
+    from meters_lv2_tpu.models.bitmeter import BitMeter
+    from meters_lv2_tpu.models.sigdist import SigDistMeter
+    from meters_lv2_tpu.utils.render import bitmeter_image, sigdist_image
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(
+        np.clip(0.4 * rng.standard_normal(48000), -1, 1), jnp.float32)
+    bm = BitMeter(48000)
+    st = jax.jit(bm.update)(bm.init(()), x)
+    out, _ = bm.read(st)
+    img = bitmeter_image(np.asarray(out["hit"]), np.asarray(out["one"]))
+    assert img.shape == (72, 120, 4)
+    # audio strictly inside (-1,1): max bit position is exp 126 + implicit
+    # bit = 149 = 2^-4 -> row k=4 (y=8) populated, 2^0 row (y=0) empty
+    assert not (img[0, :, :3] != 51).any()
+    assert (img[8, 20:100, :3] != 51).any()
+
+    sd = SigDistMeter(48000)
+    st = jax.jit(sd.update)(sd.init(()), x)
+    out, _ = sd.read(st)
+    img = sigdist_image(np.asarray(out["hist"]))
+    assert img.shape == (120, 240, 4)
+    # center column (zero bin) has the tallest bar region filled
+    assert (img[:, 120, 1] > 100).sum() > 40
