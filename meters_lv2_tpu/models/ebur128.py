@@ -108,7 +108,7 @@ class EbuR128Meter:
 
     def __init__(
         self, fs: float, nchan: int = 2, radar_seconds: float = 120.0,
-        dtype=jnp.float32,
+        runtime_radar_speed: bool = False, dtype=jnp.float32,
     ):
         assert 1 <= nchan <= 5
         self.fs = float(fs)
@@ -116,6 +116,10 @@ class EbuR128Meter:
         self.fragm = int(fs) // 20
         # radar interval (ebu_set_radarspeed, src/ebulv2.cc:75-78)
         self.radar_spd = max(int(round(radar_seconds * fs / RADAR_POINTS)), 4096)
+        # runtime_radar_speed=True makes the interval a traced state field
+        # (set_radar_speed mid-stream, CTL_RADARTIME); False compiles it as
+        # a constant so XLA strength-reduces the interval division
+        self.runtime_radar_speed = bool(runtime_radar_speed)
         self.sys = lti.LTISystem(*design.k_weighting_state_space(fs), dtype)
         if nchan == 1:
             gains = np.array([2.0])
@@ -280,7 +284,10 @@ class EbuR128Meter:
         # fires at fragment j iff floor((S_j - 1)/spd) increments, so fire
         # events, segmented maxes and ring writes are all masked reductions
         # (a 42-step sequential scan here cost half the update time).
-        spd = state.radar_spd[..., None]  # runtime-mutable interval
+        if self.runtime_radar_speed:
+            spd = state.radar_spd[..., None]  # runtime-mutable interval
+        else:
+            spd = self.radar_spd  # compile-time constant (div -> mul/shift)
         adv = jnp.where(slot == 0, fragm - off[..., None], fragm)
         advm = jnp.where(valid, jnp.broadcast_to(adv, valid.shape), 0)
         S = state.radar_spd_cur[..., None] + jnp.cumsum(advm, -1)
@@ -319,7 +326,8 @@ class EbuR128Meter:
         rcs = jnp.maximum(rcs, jnp.where(keep_carry, state.radar_cur_s, -jnp.inf))
 
         off_new = (off + T) % fragm
-        rspd = S[..., -1] - state.radar_spd * total + jnp.where(
+        spd_flat = state.radar_spd if self.runtime_radar_speed else self.radar_spd
+        rspd = S[..., -1] - spd_flat * total + jnp.where(
             ncomp > 0, off_new, T
         )
 
@@ -458,6 +466,10 @@ class EbuR128Meter:
         may be traced.  The ring contents and the open-interval counter
         carry over unchanged, as in the reference (the GUI merely re-reads
         the ring)."""
+        assert self.runtime_radar_speed, (
+            "construct EbuR128Meter(runtime_radar_speed=True) for "
+            "mid-stream radar speed changes"
+        )
         sec = jnp.clip(jnp.asarray(seconds, jnp.float32), 30.0, 600.0)
         spd = jnp.round(sec * self.fs / RADAR_POINTS).astype(jnp.int32)
         spd = jnp.maximum(spd, 4096)

@@ -130,7 +130,8 @@ def test_radar_speed_runtime_change():
     interval applies from the change on — in one compiled program."""
     from meters_lv2_tpu.models.ebur128 import EbuR128Meter
 
-    m = EbuR128Meter(FS, nchan=2, radar_seconds=36.0)  # spd = 4800
+    m = EbuR128Meter(FS, nchan=2, radar_seconds=36.0,
+                     runtime_radar_speed=True)  # spd = 4800
     rng = np.random.default_rng(5)
     x = jnp.asarray(
         0.2 * rng.standard_normal((2, FS)).astype(np.float32))
