@@ -69,7 +69,7 @@ def main(name="ebur128_mix"):
         return 0 if ok else 1
 
     print("device:", jax.devices()[0], "precision:",
-          os.environ.get("METERS_TPU_PRECISION", "highest"))
+          os.environ.get("METERS_TPU_PRECISION", "high"))
     fx = json.load(
         open(os.path.join(os.path.dirname(__file__), "..", "tests",
                           "fixtures", f"{name}.json"))
