@@ -195,3 +195,43 @@ def sigdist_image(
         if 0 <= x < width:
             img[:, x, :3] = np.maximum(img[:, x, :3], shade)
     return img
+
+
+def spectrum_image(
+    bands_db: np.ndarray,
+    peaks_db: np.ndarray | None = None,
+    width: int = 240,
+    height: int = 120,
+    floor_db: float = -70.0,
+    ceil_db: float = 6.0,
+) -> np.ndarray:
+    """Render the 30-band 1/3-octave analyzer view -> [H, W, 4] RGBA.
+
+    Mirrors the spectrum GUI's bar plot (gui/dpm.c bar geometry with the
+    IEC-268-18-style dB scale used by the 30-band meter): one bar per band,
+    dB mapped linearly between floor and ceiling, peak-hold ticks above.
+    """
+    bands_db = np.asarray(bands_db, np.float64)
+    nb = len(bands_db)
+    img = np.zeros((height, width, 4), np.uint8)
+    img[..., :3] = 26
+    img[..., 3] = 255
+    span = ceil_db - floor_db
+    bw = max(width // nb - 1, 1)
+    for i in range(nb):
+        x0 = i * width // nb
+        frac = np.clip((bands_db[i] - floor_db) / span, 0.0, 1.0)
+        bh = int(round(frac * (height - 2)))
+        if bh > 0:
+            col = (60, 200, 90) if bands_db[i] < 0 else (230, 180, 0)
+            img[height - 1 - bh : height - 1, x0 : x0 + bw, :3] = col
+        if peaks_db is not None:
+            pf = np.clip((float(peaks_db[i]) - floor_db) / span, 0.0, 1.0)
+            py = height - 1 - int(round(pf * (height - 2)))
+            if 0 <= py < height:
+                img[py, x0 : x0 + bw, :3] = (230, 230, 230)
+    # 0 dB gridline
+    y0 = height - 1 - int(round((0.0 - floor_db) / span * (height - 2)))
+    if 0 <= y0 < height:
+        img[y0, :, :3] = np.maximum(img[y0, :, :3], 90)
+    return img

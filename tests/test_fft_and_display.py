@@ -228,3 +228,27 @@ def test_bitmeter_and_sigdist_render():
     assert img.shape == (120, 240, 4)
     # center column (zero bin) has the tallest bar region filled
     assert (img[:, 120, 1] > 100).sum() > 40
+
+
+def test_spectrum_render_and_profiler():
+    from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+    from meters_lv2_tpu.utils.render import spectrum_image
+    from meters_lv2_tpu.utils.profiler import time_op, meter_throughput
+
+    t = np.arange(48000) / 48000
+    x = (0.3 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    m = SpectrumAnalyzer(48000)
+    st = jax.jit(m.update)(m.init(()), jnp.asarray(x))
+    out, _ = m.read(st)
+    img = spectrum_image(np.asarray(out["bands"]), np.asarray(out["peaks"]))
+    assert img.shape == (120, 240, 4)
+    # the 1 kHz band (index 16) bar is the tallest
+    colheights = (img[:, :, 1] > 150).sum(0)
+    band_px = np.argmax(colheights)
+    assert 16 * 240 // 30 <= band_px < 17 * 240 // 30
+
+    r = time_op(jax.jit(lambda s, xb: m.update(s, xb)), st, jnp.asarray(x),
+                iters=3, warmup=1, best_of=1)
+    assert r["ms_per_call"] > 0
+    r2 = meter_throughput(m, (2,), 4800, 48000, iters=2)
+    assert r2["x_realtime"] > 0
