@@ -85,6 +85,14 @@ class EbuR128State:
     radar_spd: jax.Array  # [...] int32 samples per radar point — runtime-
     # mutable like CTL_RADARTIME (src/ebulv2.cc:75-78,312-318); the ring and
     # the interval counter carry over a change, as in the reference
+    # 500 ms-cadence snapshot: the gating M-histogram/count as of the most
+    # recent S-point, where the reference recomputes its cached I/LRA
+    # (ebu_r128_proc.cc:240-243); read(cadence_500ms=True) reproduces the
+    # reference's between-recompute cached values exactly.  (hist_s needs no
+    # snapshot: it only changes AT S-points.)  Only tracked when the meter
+    # is constructed with track_cadence=True.
+    hist_m_snap: jax.Array  # [..., 751] int32 (or [..., 1] placeholder)
+    count_m_snap: jax.Array  # [...] int32
 
 
 jax.tree_util.register_dataclass(
@@ -94,7 +102,7 @@ jax.tree_util.register_dataclass(
         "max_m", "max_s", "hist_m", "hist_s", "count_m", "count_s",
         "div1", "div2", "dbtp", "integrating", "n_lo", "n_hi",
         "radar_m", "radar_s", "radar_pos", "radar_cur_m", "radar_cur_s",
-        "radar_spd_cur", "radar_spd",
+        "radar_spd_cur", "radar_spd", "hist_m_snap", "count_m_snap",
     ],
     meta_fields=[],
 )
@@ -108,7 +116,8 @@ class EbuR128Meter:
 
     def __init__(
         self, fs: float, nchan: int = 2, radar_seconds: float = 120.0,
-        runtime_radar_speed: bool = False, dtype=jnp.float32,
+        runtime_radar_speed: bool = False, track_cadence: bool = False,
+        dtype=jnp.float32,
     ):
         assert 1 <= nchan <= 5
         self.fs = float(fs)
@@ -120,6 +129,10 @@ class EbuR128Meter:
         # (set_radar_speed mid-stream, CTL_RADARTIME); False compiles it as
         # a constant so XLA strength-reduces the interval division
         self.runtime_radar_speed = bool(runtime_radar_speed)
+        # track_cadence=True carries an extra M-histogram snapshot so
+        # read(cadence_500ms=True) matches the reference's 500 ms cached
+        # I/LRA between recompute points (one extra one-hot reduce/update)
+        self.track_cadence = bool(track_cadence)
         self.sys = lti.LTISystem(*design.k_weighting_state_space(fs), dtype)
         if nchan == 1:
             gains = np.array([2.0])
@@ -161,6 +174,11 @@ class EbuR128Meter:
             radar_cur_s=jnp.full(batch_shape, -jnp.inf, self.dtype),
             radar_spd_cur=i(),
             radar_spd=jnp.full(batch_shape, self.radar_spd, jnp.int32),
+            hist_m_snap=jnp.zeros(
+                (*batch_shape, HIST_BINS if self.track_cadence else 1),
+                jnp.int32,
+            ),
+            count_m_snap=i(),
         )
 
     def integr_start(self, state):  # ebu_r128_proc.h integr_start/pause
@@ -181,6 +199,8 @@ class EbuR128Meter:
             count_s=jnp.zeros_like(state.count_s),
             div1=jnp.zeros_like(state.div1),
             div2=jnp.zeros_like(state.div2),
+            hist_m_snap=jnp.zeros_like(state.hist_m_snap),
+            count_m_snap=jnp.zeros_like(state.count_m_snap),
         )
 
     # -- processing ----------------------------------------------------------
@@ -277,6 +297,26 @@ class EbuR128Meter:
         hist_m, dcm = scatter(state.hist_m, lm, m_pt)
         hist_s, dcs = scatter(state.hist_s, ls, s_pt)
 
+        # 5b) optional 500 ms-cadence snapshot: M-histogram as of the last
+        # S-point in this block (the reference recomputes cached I/LRA right
+        # after adding the S point, ebu_r128_proc.cc:229-243)
+        if self.track_cadence:
+            any_s = jnp.any(s_pt, -1)
+            ls_slot = jnp.max(
+                jnp.where(s_pt, slot, -1), -1
+            )  # last S-point slot (-1 if none)
+            snap_mask = m_pt & (slot <= ls_slot[..., None])
+            hm_new, dcm_s = scatter(state.hist_m, lm, snap_mask)
+            hist_m_snap = jnp.where(
+                any_s[..., None], hm_new, state.hist_m_snap
+            )
+            count_m_snap = jnp.where(
+                any_s, state.count_m + dcm_s, state.count_m_snap
+            )
+        else:
+            hist_m_snap = state.hist_m_snap
+            count_m_snap = state.count_m_snap
+
         # 6) radar history: per-interval max of fragment-rate loudness
         # (src/ebulv2.cc:390-421; the reference samples at block rate, we
         # sample at the finer fragment rate).  Fully vectorized: the wrapped
@@ -360,6 +400,8 @@ class EbuR128Meter:
             radar_cur_s=rcs,
             radar_spd_cur=rspd,
             radar_spd=state.radar_spd,
+            hist_m_snap=hist_m_snap,
+            count_m_snap=count_m_snap,
         )
 
     # -- gated statistics (ebu_r128_proc.cc:82-150) ---------------------------
@@ -415,10 +457,28 @@ class EbuR128Meter:
             jnp.where(bad, -200.0, th),
         )
 
-    def read(self, state: EbuR128State):
-        """Full mtr_ebulevels readout (src/ebulv2.cc:466-482)."""
-        li, ith = self.calc_integ(state)
-        v0, v1, rth = self.calc_range(state)
+    def read(self, state: EbuR128State, cadence_500ms: bool = False):
+        """Full mtr_ebulevels readout (src/ebulv2.cc:466-482).
+
+        cadence_500ms=True (requires track_cadence): I and LRA are computed
+        from the histogram state as of the most recent S-point — exactly
+        the reference's cached values, which it refreshes every 10th
+        fragment (ebu_r128_proc.cc:240-243).  Default False computes them
+        from the live histograms (same values at S-point boundaries,
+        fresher in between)."""
+        if cadence_500ms:
+            assert self.track_cadence, (
+                "construct EbuR128Meter(track_cadence=True) for 500 ms-"
+                "cadence readouts"
+            )
+            snap = dataclasses.replace(
+                state, hist_m=state.hist_m_snap, count_m=state.count_m_snap
+            )
+            li, ith = self.calc_integ(snap)
+            v0, v1, rth = self.calc_range(snap)
+        else:
+            li, ith = self.calc_integ(state)
+            v0, v1, rth = self.calc_range(state)
         return {
             "loudness_M": state.loud_m,
             "loudness_S": state.loud_s,

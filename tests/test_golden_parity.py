@@ -499,3 +499,32 @@ def test_bitmeter_parity():
         assert int(out["integration_time"]) == final["time"], sig
         np.testing.assert_allclose(float(out["max"]), final["max"], rtol=1e-6)
         np.testing.assert_allclose(float(out["min"]), final["min"], rtol=1e-6)
+
+
+def test_ebur128_cadence_500ms_parity():
+    """With cadence_500ms reads, I and LRA match the reference's CACHED
+    values even at unaligned block sizes (the reference recomputes them
+    every 10th fragment, ebu_r128_proc.cc:240-243; the plain ebur128
+    fixtures read at block 1024 x 16, far from S-point boundaries)."""
+    for fx in _fixtures("ebur128"):
+        m = ebur128.EbuR128Meter(fx["fs"], nchan=fx["nchan"], track_cadence=True)
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        rd = jax.jit(lambda s: m.read(s, cadence_500ms=True))
+        mid = [r for r in fx["reads"] if "final" not in r]
+        it = iter(mid)
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, _ = rd(st)
+                rec = next(it)
+                for key, mine in [("I", "integrated"),
+                                  ("LRAmin", "range_min"),
+                                  ("LRAmax", "range_max")]:
+                    g, o = rec[key], float(out[mine])
+                    if g > -199.0:
+                        assert abs(o - g) < TOL_DB, (
+                            fx["signal"], key, o, g, rec["block"])
+                    else:
+                        assert o <= -199.0, (fx["signal"], key, o, g)
