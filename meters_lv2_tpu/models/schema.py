@@ -69,7 +69,12 @@ for _k in ("K12", "K14", "K20"):
 _add(MeterSchema(
     "EBUr128", (1, 2, 5),
     (Control("integrating", "bool", 0, 1, 1),
-     Control("radar_seconds", "s", 30.0, 14400.0, 120.0)),
+     Control("radar_seconds", "s", 30.0, 14400.0, 120.0,
+             "runtime-mutable with runtime_radar_speed=True "
+             "(set_radar_speed, CTL_RADARTIME analog)"),
+     Control("cadence_500ms", "bool", 0, 1, 0,
+             "read() arg: I/LRA as the reference's 500 ms cached values "
+             "(requires track_cadence=True)")),
     (Control("loudness_M", "LUFS", -200.0, 0.0),
      Control("loudness_S", "LUFS", -200.0, 0.0),
      Control("max_M", "LUFS"), Control("max_S", "LUFS"),
@@ -82,7 +87,9 @@ _add(MeterSchema(
 ))
 _add(MeterSchema(
     "spectr30", (1, 2),
-    (Control("speed", "s", 0.01, 15.0, 1.0, "display time constant"),),
+    (Control("speed", "s", 0.01, 15.0, 1.0,
+             "display time constant; runtime-mutable via set_speed(state, "
+             "v) — no recompile"),),
     (Control("bands", "dB[30]", -100.0, None),
      Control("peaks", "dB[30]", -100.0, None)),
 ))
