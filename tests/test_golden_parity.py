@@ -349,7 +349,40 @@ def test_parity_441khz():
                 for i in range(30):
                     want = rec["bands"][i]
                     if want > -99.9:
-                        assert abs(bands[i] - want) < 0.02, (i, bands[i], want)
+                        assert abs(bands[i] - want) < TOL_DB, (i, bands[i], want)
+    # ballistics coefficient rescaling (w1/w2/w3 = f(fs))
+    for kind, cls in [("vu_44k", needle.VUMeter), ("iec1_44k", needle.DINMeter),
+                      ("iec2_44k", needle.BBCMeter)]:
+        for fx in _fixtures(kind):
+            m = cls(fx["fs"])
+            x = _stream(fx)
+            st = m.init((2,))
+            upd = jax.jit(m.update)
+            reads = iter(fx["reads"])
+            for b in range(x.shape[1] // fx["block"]):
+                st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+                if (b + 1) % fx["read_every"] == 0:
+                    vals, st = m.read(st, ref_level_db=-18.0)
+                    rec = next(reads)
+                    for c in range(2):
+                        assert_level(np.asarray(vals)[c], rec["values"][c],
+                                     msg=f"{kind} blk {rec['block']} ch{c}")
+    for fx in _fixtures("kmeter_44k"):
+        m = kmeter.KMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init((2,))
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st)
+                rec = next(reads)
+                for c in range(2):
+                    assert_level(np.asarray(vals["rms"])[c], rec["values"][2 * c],
+                                 msg=f"km44k rms ch{c} blk {rec['block']}")
+                    assert_level(np.asarray(vals["peak"])[c], rec["values"][2 * c + 1],
+                                 msg=f"km44k peak ch{c} blk {rec['block']}")
 
 
 def test_ebur128_5channel_parity():

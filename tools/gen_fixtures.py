@@ -45,6 +45,11 @@ CASES = [
     ("ebur128_44k", 2, ["mix"], 12.0, 1024, 16, 44100),
     ("truepeak_44k", 2, ["intersample_peak"], 6.0, 1024, 16, 44100),
     ("spectrum_44k", 2, ["mix"], 4.0, 1024, 16, 44100),
+    # ballistics coefficient rescaling at 44.1k (w1/w2/w3 = f(fs))
+    ("vu_44k", 2, ["mix"], 6.0, 1024, 16, 44100),
+    ("iec1_44k", 2, ["mix"], 6.0, 1024, 16, 44100),
+    ("iec2_44k", 2, ["mix"], 6.0, 1024, 16, 44100),
+    ("kmeter_44k", 2, ["bursts"], 6.0, 1024, 16, 44100),
     ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
     # DR-14: >=5 complete 3 s (144001-sample) windows, incl. a silence-gated
     # stretch; read cadence = the km/tp read-reset parity contract
@@ -82,7 +87,8 @@ def main():
         rate = case[6] if len(case) > 6 else FS
         extra = case[7] if len(case) > 7 else []
         gmeter = meter
-        for prefix in ("ebur128", "vu", "kmeter", "truepeak", "spectrum",
+        for prefix in ("ebur128", "vu", "iec1", "iec2", "kmeter",
+                       "truepeak", "spectrum",
                        "dr14", "tpnrms", "sigdist", "bitmeter", "stft",
                        "phasewheel", "stereoscope", "goniometer",
                        "rresample"):
