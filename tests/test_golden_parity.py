@@ -561,3 +561,34 @@ def test_ebur128_cadence_500ms_parity():
                             fx["signal"], key, o, g, rec["block"])
                     else:
                         assert o <= -199.0, (fx["signal"], key, o, g)
+
+
+def test_surround_parity():
+    """surround5 vs the compiled reference composition (surmeter.c:50-160:
+    N Kmeterdsp + 4 Stcorrdsp, adjacent routing, cor init (2e3, 0.3))."""
+    from signals import make_surround
+    from meters_lv2_tpu.models.surround import SurroundMeter
+
+    for fx in _fixtures("surround5"):
+        class Sur5(SurroundMeter):
+            nchan = 5
+
+        m = Sur5(fx["fs"])
+        x = make_surround(fx["signal"], fx["seconds"], fs=fx["fs"])
+        st = m.init(())
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, st = m.read(st)
+                rec = next(reads)
+                for c in range(5):
+                    assert_level(np.asarray(out["level"])[c], rec["rms"][c],
+                                 msg=f"sur5 rms ch{c} blk {rec['block']}")
+                    assert_level(np.asarray(out["peak"])[c], rec["peak"][c],
+                                 msg=f"sur5 peak ch{c} blk {rec['block']}")
+                for c in range(4):
+                    g = rec["cor"][c]
+                    o = float(np.asarray(out["correlation"])[c])
+                    assert abs(o - g) < 1e-3, (c, o, g, rec["block"])

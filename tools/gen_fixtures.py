@@ -73,6 +73,7 @@ CASES = [
     ("goniometer_os1", 2, ["mix"], 2.0, 1024, 8, FS, ["1"]),
     # arbitrary-ratio zita resampler: (block, read_every) carry
     # (fs_out, hlen) for this mode
+    ("surround5", 5, ["mix"], 6.0),
     ("rresample_up", 2, ["mix"], 1.0, 48000, 32, 44100),
     ("rresample_down", 2, ["intersample_peak"], 1.0, 44100, 32, 48000),
 ]
@@ -91,7 +92,7 @@ def main():
                        "truepeak", "spectrum",
                        "dr14", "tpnrms", "sigdist", "bitmeter", "stft",
                        "phasewheel", "stereoscope", "goniometer",
-                       "rresample"):
+                       "rresample", "surround"):
             if meter.startswith(prefix):
                 gmeter = prefix
         for sig in signals:

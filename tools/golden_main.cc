@@ -594,6 +594,39 @@ int main(int argc, char** argv) {
                 (long long)integration_time);
     for (int i = 0; i < HIST_LEN; ++i) std::printf("%s%d", i ? "," : "", histS[i]);
     std::printf("]}\n");
+  } else if (meter == "surround") {
+    // src/surmeter.c:50-160: N Kmeterdsp + (nchan>3 ? 4 : 3) Stcorrdsp
+    // with default adjacent routing i -> (i, (i+1) % nchan); correlators
+    // init(rate, 2e3, 0.3) (:64-65).
+    const int cors = nchan > 3 ? 4 : 3;
+    std::vector<Kmeterdsp*> km(nchan);
+    std::vector<Stcorrdsp*> cor(cors);
+    for (int c = 0; c < nchan; ++c) { km[c] = new Kmeterdsp(); km[c]->init(fs); }
+    for (int c = 0; c < cors; ++c) { cor[c] = new Stcorrdsp(); cor[c]->init(fs, 2e3f, 0.3f); }
+    for (long b = 0; b < nblocks; ++b) {
+      for (int c = 0; c < cors; ++c) {
+        int a = c % nchan, d = (c + 1) % nchan;
+        cor[c]->process(&ch[a][b * block], &ch[d][b * block], block);
+      }
+      for (int c = 0; c < nchan; ++c) km[c]->process(&ch[c][b * block], block);
+      if ((b + 1) % read_every == 0) {
+        std::printf("{\"block\": %ld, \"rms\": [", b);
+        std::vector<float> peaks(nchan);
+        for (int c = 0; c < nchan; ++c) {
+          float r, p;
+          km[c]->read(r, p);
+          peaks[c] = p;
+          std::printf("%s%.9g", c ? ", " : "", r);
+        }
+        std::printf("], \"peak\": [");
+        for (int c = 0; c < nchan; ++c)
+          std::printf("%s%.9g", c ? ", " : "", peaks[c]);
+        std::printf("], \"cor\": [");
+        for (int c = 0; c < cors; ++c)
+          std::printf("%s%.9g", c ? ", " : "", cor[c]->read());
+        std::printf("]}\n");
+      }
+    }
   } else if (meter == "rresample") {
     // generic-ratio zita Resampler (resampler.cc:67-120): fs = fs_in,
     // block = fs_out, read_every = hlen (4-arg setup -> frel = 1-2.6/hl).
