@@ -29,7 +29,10 @@ def main():
     fs = 48000
     B = int(os.environ.get("BENCH_STREAMS", "256"))
     chunk_s = float(os.environ.get("BENCH_CHUNK_S", "1.0"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "30"))
+    # 120 chunks: steady-state pipelined throughput (a 30-dispatch run
+    # spends a visible fraction in pipeline ramp; production batch jobs
+    # stream minutes of audio per file)
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "120"))
     Tc = int(fs * chunk_s)
     dur = chunk_s * n_chunks
 
