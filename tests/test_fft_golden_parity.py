@@ -193,7 +193,10 @@ def test_stereoscope_parity():
                     err_msg=f"{fx['signal']} frame {f} level")
 
 
-@pytest.mark.parametrize("prefix", ["goniometer", "goniometer_os1"])
+@pytest.mark.parametrize(
+    "prefix",
+    ["goniometer", "goniometer_os1", "goniometer_os2", "goniometer_os8"],
+)
 def test_goniometer_parity(prefix):
     from meters_lv2_tpu.models.goniometer import Goniometer
 

@@ -412,7 +412,7 @@ def test_ebur128_5channel_parity():
         np.testing.assert_array_equal(np.asarray(st.hist_s), final["histS"])
 
 
-@pytest.mark.parametrize("prefix", ["dr14", "dr14mono"])
+@pytest.mark.parametrize("prefix", ["dr14", "dr14mono", "dr14_44k"])
 def test_dr14_parity(prefix):
     """DR-14 vs the compiled reference (src/dr14.c measurement loop linked
     with the reference Kmeterdsp/TruePeakdsp in the golden CLI)."""

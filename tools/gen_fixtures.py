@@ -55,6 +55,8 @@ CASES = [
     # stretch; read cadence = the km/tp read-reset parity contract
     ("dr14", 2, ["mix", "silence_then_tone", "sine997"], 16.0, 1024, 47),
     ("dr14mono", 1, ["mix"], 16.0, 1024, 47),
+    # 44.1 kHz: n_sample_cnt = rint(44100*3) = 132300 -> 132301-sample windows
+    ("dr14_44k", 2, ["mix"], 16.0, 1024, 47, 44100),
     ("tpnrms", 2, ["mix", "bursts"], 6.0),
     # sigdist: signals with all samples in the 361-bin range (out-of-range
     # samples desync the reference's Welford count quirk, sigdistlv2.c:317)
@@ -71,6 +73,8 @@ CASES = [
     ("stereoscope", 2, ["mix", "noise"], 2.0, 960, 5, FS, ["128"]),
     ("goniometer", 2, ["mix", "sine997"], 2.0, 1024, 8, FS, ["4"]),
     ("goniometer_os1", 2, ["mix"], 2.0, 1024, 8, FS, ["1"]),
+    ("goniometer_os2", 2, ["mix"], 2.0, 1024, 8, FS, ["2"]),
+    ("goniometer_os8", 2, ["mix"], 2.0, 1024, 8, FS, ["8"]),
     # arbitrary-ratio zita resampler: (block, read_every) carry
     # (fs_out, hlen) for this mode
     ("surround5", 5, ["mix"], 6.0),
