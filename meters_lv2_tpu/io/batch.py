@@ -59,12 +59,26 @@ def load_files(
     the zita Resampler is generic, resampler.cc:67-120).  Without it, all
     files must share one rate.
     """
-    from .wav import read_wav
+    decoded = None
+    try:
+        from ..runtime import native
+
+        if native.load() is not None:
+            # production ingest: native thread-pool decode keeps the
+            # accelerator fed (the reference's host feeds one RT stream;
+            # a batch framework's data-loader is the analogous native
+            # runtime component)
+            decoded = native.wav_read_batch(paths)
+    except Exception:
+        decoded = None
+    if decoded is None:
+        from .wav import read_wav
+
+        decoded = [read_wav(p) for p in paths]
 
     arrs = []
     rate = None
-    for p in paths:
-        x, r = read_wav(p)
+    for p, (x, r) in zip(paths, decoded):
         if target_rate is not None and r != target_rate:
             import numpy as _np
 

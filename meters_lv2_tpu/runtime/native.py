@@ -58,6 +58,17 @@ def load():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.mt_wav_read.restype = ctypes.c_int
+    lib.mt_wav_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mt_wav_read_batch.restype = ctypes.c_int
     lib.mt_wav_write.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_float),
@@ -108,6 +119,39 @@ def wav_read(path: str):
     ).copy()
     lib.mt_free(data)
     return arr, rate.value
+
+
+def wav_read_batch(paths, workers: int = 0):
+    """Decode many WAVs with the native thread pool.
+
+    Returns a list of (data [C, T] float32, rate); raises on the first
+    failed file.  workers <= 0 uses hardware concurrency.
+    """
+    lib = load()
+    assert lib is not None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    data = (ctypes.POINTER(ctypes.c_float) * n)()
+    nchan = (ctypes.c_int32 * n)()
+    nframes = (ctypes.c_int64 * n)()
+    rate = (ctypes.c_int32 * n)()
+    rc = (ctypes.c_int32 * n)()
+    lib.mt_wav_read_batch(c_paths, n, workers, data, nchan, nframes, rate, rc)
+    out = []
+    try:
+        for i in range(n):
+            if rc[i] != 0:
+                raise IOError(f"mt_wav_read({paths[i]}) failed: {rc[i]}")
+            cnt = nchan[i] * nframes[i]
+            arr = np.ctypeslib.as_array(data[i], shape=(cnt,)).reshape(
+                nchan[i], nframes[i]
+            ).copy()
+            out.append((arr, int(rate[i])))
+    finally:
+        for i in range(n):
+            if data[i]:
+                lib.mt_free(data[i])
+    return out
 
 
 def wav_write(path: str, data: np.ndarray, rate: int, format: int = 32):

@@ -33,6 +33,14 @@ int mt_wav_write(const char* path, const float* data, int32_t nchan,
 
 void mt_free(void* p);
 
+/* Parallel batch decode (thread pool; n_threads <= 0 = hardware
+ * concurrency).  Per file i: rc[i] = mt_wav_read status; on success
+ * data[i] is malloc'd planar f32 (free each with mt_free).  Returns the
+ * number of failed files. */
+int mt_wav_read_batch(const char** paths, int32_t n, int32_t n_threads,
+                      float** data, int32_t* nchan, int64_t* nframes,
+                      int32_t* rate, int32_t* rc);
+
 /* ---- streaming metering engine ---- */
 
 typedef enum {

@@ -178,3 +178,43 @@ extern "C" int mt_wav_write(const char* path, const float* data, int32_t nchan,
 }
 
 extern "C" void mt_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// Parallel batch decode: the production ingest path.  The reference's
+// runtime is a realtime host feeding one stream; a batch framework's
+// data-loader must keep the accelerator fed, so decoding fans out over a
+// thread pool (one malloc'd planar buffer per file, like mt_wav_read).
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+extern "C" int mt_wav_read_batch(const char** paths, int32_t n,
+                                 int32_t n_threads, float** data,
+                                 int32_t* nchan, int64_t* nframes,
+                                 int32_t* rate, int32_t* rc) {
+  if (n <= 0) return 0;
+  int workers = n_threads > 0 ? n_threads
+                              : (int)std::thread::hardware_concurrency();
+  if (workers < 1) workers = 1;
+  if (workers > n) workers = n;
+  std::atomic<int32_t> next(0);
+  std::atomic<int32_t> failures(0);
+  auto run = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      rc[i] = mt_wav_read(paths[i], &data[i], &nchan[i], &nframes[i],
+                          &rate[i]);
+      if (rc[i] != 0) {
+        data[i] = nullptr;
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  for (int w = 0; w < workers; ++w) pool.emplace_back(run);
+  for (auto& t : pool) t.join();
+  return failures.load();
+}

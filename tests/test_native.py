@@ -151,3 +151,30 @@ def test_native_msppm_sigdist_bitmeter():
     nv = eng.read()
     assert nv[0] == 50 and nv[2] == 50 and nv[3] == 50 and nv[4] == 50
     assert nv[5] == 0.25 and nv[6] == 1.5
+
+
+def test_native_batch_decode(tmp_path):
+    """Thread-pool batch decode == per-file decode, incl. an error slot."""
+    import pytest
+
+    from meters_lv2_tpu.io import write_wav
+    from meters_lv2_tpu.runtime import native
+
+    if native.load() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(6)
+    paths = []
+    refs = []
+    for i in range(7):
+        x = (0.3 * rng.standard_normal((2, 1000 + 100 * i))).astype(np.float32)
+        p = str(tmp_path / f"f{i}.wav")
+        write_wav(p, x, 48000)
+        paths.append(p)
+        refs.append(x)
+    out = native.wav_read_batch(paths, workers=4)
+    assert len(out) == 7
+    for (arr, rate), ref in zip(out, refs):
+        assert rate == 48000
+        np.testing.assert_allclose(arr, ref, atol=1e-7)
+    with pytest.raises(IOError):
+        native.wav_read_batch([paths[0], str(tmp_path / "missing.wav")])
