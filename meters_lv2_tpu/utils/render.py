@@ -235,3 +235,103 @@ def spectrum_image(
     if 0 <= y0 < height:
         img[y0, :, :3] = np.maximum(img[y0, :, :3], 90)
     return img
+
+
+def goniometer_image(
+    x: np.ndarray,
+    y: np.ndarray,
+    gain: float = 1.0,
+    size: int = 200,
+) -> np.ndarray:
+    """Render a goniometer (vectorscope) trace -> [size, size, 4] RGBA.
+
+    Mirrors draw_rb's point plot (gui/goniometer.c:340-470): screen
+    position = center - gain * (ax, ay) * radius, accumulated with additive
+    intensity (the GUI's alpha build-up).
+    """
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    c = size / 2.0
+    rad = size * 0.45
+    px = np.rint(c - gain * np.asarray(x, np.float64) * rad).astype(int)
+    py = np.rint(c - gain * np.asarray(y, np.float64) * rad).astype(int)
+    ok = (px >= 0) & (px < size) & (py >= 0) & (py < size)
+    if ok.any():
+        # additive green-yellow accumulation via a 2D histogram
+        hist = np.zeros((size, size), np.int64)
+        np.add.at(hist, (py[ok], px[ok]), 1)
+        lvl = np.clip(40.0 * np.log1p(hist), 0, 255).astype(np.uint8)
+        img[..., 0] = np.maximum(img[..., 0], (lvl * 0.88).astype(np.uint8))
+        img[..., 1] = np.maximum(img[..., 1], (lvl * 0.88).astype(np.uint8))
+        img[..., 2] = np.maximum(img[..., 2], (lvl * 0.15).astype(np.uint8))
+    # axes
+    img[int(c), :, :3] = np.maximum(img[int(c), :, :3], 50)
+    img[:, int(c), :3] = np.maximum(img[:, int(c), :3], 50)
+    return img
+
+
+def phasewheel_image(
+    phase: np.ndarray,
+    level: np.ndarray,
+    freq_per_bin: float,
+    size: int = 200,
+    floor_db: float = -60.0,
+) -> np.ndarray:
+    """Render the phase wheel -> [size, size, 4] RGBA.
+
+    Mirrors plot_data_fft's polar mapping (gui/phasewheel.c:571-606):
+    angle = inter-channel phase, radius = log-frequency, brightness =
+    level (power, dB-scaled from floor).
+    """
+    phase = np.asarray(phase, np.float64)
+    level = np.asarray(level, np.float64)
+    nb = len(phase)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    c = size / 2.0
+    freqs = np.maximum(np.arange(nb) * freq_per_bin, 1.0)
+    rr = np.log10(freqs / 20.0) / np.log10(1000.0)  # 20 Hz .. 20 kHz
+    rr = np.clip(rr, 0.0, 1.0) * (c - 2)
+    with np.errstate(divide="ignore"):
+        ldb = 10.0 * np.log10(np.maximum(level, 1e-30))
+    bright = np.clip((ldb - floor_db) / (-floor_db), 0.0, 1.0)
+    xs = np.rint(c + np.sin(phase) * rr).astype(int)
+    ys = np.rint(c - np.cos(phase) * rr).astype(int)
+    ok = (bright > 0) & (xs >= 0) & (xs < size) & (ys >= 0) & (ys < size)
+    g = (60 + 195 * bright[ok]).astype(np.uint8)
+    img[ys[ok], xs[ok], 1] = np.maximum(img[ys[ok], xs[ok], 1], g)
+    img[ys[ok], xs[ok], 0] = (0.4 * g).astype(np.uint8)
+    return img
+
+
+def stereoscope_image(
+    lr: np.ndarray,
+    level: np.ndarray,
+    size: int = 200,
+    floor_db: float = -60.0,
+) -> np.ndarray:
+    """Render the stereoscope -> [size, size, 4] RGBA.
+
+    Mirrors gui/stereoscope.c:325-437: x = left/right position (0..1),
+    y = log-frequency (low at bottom), brightness = level.
+    """
+    lr = np.asarray(lr, np.float64)
+    level = np.asarray(level, np.float64)
+    nb = len(lr)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    yy = size - 1 - np.rint(
+        np.clip(np.log10(np.maximum(np.arange(nb), 1) / 1.0)
+                / np.log10(max(nb - 1, 2)), 0, 1) * (size - 1)
+    ).astype(int)
+    xs = np.rint(np.clip(lr, 0.0, 1.0) * (size - 1)).astype(int)
+    with np.errstate(divide="ignore"):
+        ldb = 10.0 * np.log10(np.maximum(level, 1e-30))
+    bright = np.clip((ldb - floor_db) / (-floor_db), 0.0, 1.0)
+    ok = bright > 0
+    g = (60 + 195 * bright[ok]).astype(np.uint8)
+    img[yy[ok], xs[ok], 1] = np.maximum(img[yy[ok], xs[ok], 1], g)
+    img[yy[ok], xs[ok], 2] = (0.5 * g).astype(np.uint8)
+    # center (mono) line
+    img[:, size // 2, :3] = np.maximum(img[:, size // 2, :3], 45)
+    return img

@@ -252,3 +252,41 @@ def test_spectrum_render_and_profiler():
     assert r["ms_per_call"] > 0
     r2 = meter_throughput(m, (2,), 4800, 48000, iters=2)
     assert r2["x_realtime"] > 0
+
+
+def test_scope_renders():
+    from meters_lv2_tpu.models.goniometer import Goniometer
+    from meters_lv2_tpu.models.phasewheel import PhaseWheel, Stereoscope
+    from meters_lv2_tpu.utils.render import (
+        goniometer_image, phasewheel_image, stereoscope_image,
+    )
+
+    fs = 48000
+    t = np.arange(fs // 2) / fs
+    l = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    xin = jnp.asarray(np.stack([l, l]))  # mono-correlated
+
+    g = Goniometer(fs, oversample=1)
+    out, _ = g.process(g.init(()), xin)
+    img = goniometer_image(np.asarray(out["x"]), np.asarray(out["y"]),
+                           gain=float(out["gain"]))
+    assert img.shape == (200, 200, 4)
+    # L==R: energy concentrates on the vertical (y) axis column
+    col = img[:, 100, 1].astype(int).sum()
+    row = img[100, :, 1].astype(int).sum()
+    assert col > row
+
+    pw = PhaseWheel(fs, bins=128)
+    hop = pw.stft.hop
+    o, _ = pw.process(pw.init(()), xin[:, :hop])
+    img = phasewheel_image(np.asarray(o["phase"])[0], np.asarray(o["level"])[0],
+                           pw.stft.freq_per_bin)
+    assert img.shape == (200, 200, 4) and (img[..., 1] > 0).any()
+
+    sc = Stereoscope(fs, bins=128)
+    o, _ = sc.process(sc.init(()), xin[:, :hop])
+    img = stereoscope_image(np.asarray(o["lr"]), np.asarray(o["level"]))
+    assert img.shape == (200, 200, 4)
+    # mono content sits at the center pan column
+    on = np.nonzero(img[..., 1] > 100)
+    assert on[1].size and (np.abs(on[1] - 100) <= 2).all()
