@@ -151,6 +151,10 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
     radar_pos = jnp.full((B,), e_tot % RADAR_POINTS, jnp.int32)
 
     return {
+        # per-fragment loudness curves (LUFS-M/S time series, 20 Hz rate) —
+        # the SURVEY minimum-viable-demo readout; sharded over 'sp'
+        "curve_M": lm,
+        "curve_S": ls,
         "loudness_M": loud_m,
         "loudness_S": loud_s,
         "max_M": max_m,
@@ -186,6 +190,8 @@ def analyze_r128(meter: EbuR128Meter, x, mesh: Mesh):
             mesh=mesh,
             in_specs=P("dp", None, "sp"),
             out_specs={
+                "curve_M": P("dp", "sp"),
+                "curve_S": P("dp", "sp"),
                 "loudness_M": P("dp"),
                 "loudness_S": P("dp"),
                 "max_M": P("dp"),

@@ -97,6 +97,13 @@ def test_sharded_r128_matches_serial():
     np.testing.assert_allclose(
         np.asarray(out["dbtp"]), np.asarray(st.dbtp), atol=1e-6
     )
+    # fragment-rate loudness curves: final fragment equals the serial
+    # meter's loudness_M/S, shape covers the full timeline
+    cm = np.asarray(out["curve_M"])
+    assert cm.shape == (4, 12 * 20)  # 12 s at 20 fragments/s
+    np.testing.assert_allclose(
+        cm[:, -1], np.asarray(ref["loudness_M"]), atol=1e-4
+    )
 
 
 def test_sharded_r128_radar_matches_serial():
