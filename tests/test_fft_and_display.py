@@ -290,3 +290,14 @@ def test_scope_renders():
     # mono content sits at the center pan column
     on = np.nonzero(img[..., 1] > 100)
     assert on[1].size and (np.abs(on[1] - 100) <= 2).all()
+
+
+def test_api_doc_examples_execute():
+    """The per-meter snippets in docs/API.md run verbatim."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "API.md")
+    blocks = re.findall(r"```python\n(.*?)```", open(path).read(), re.S)
+    assert blocks
+    exec(compile(blocks[-1], "API.md", "exec"), {})
