@@ -37,7 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..ops import design, lti, resample, segment
+from ..ops import pallas_r128
 from .base import register
 
 HIST_BINS = 751
@@ -205,23 +208,55 @@ class EbuR128Meter:
 
     # -- processing ----------------------------------------------------------
 
+    @property
+    def _fused_mode(self) -> str:
+        return os.environ.get("METERS_TPU_R128_FUSED", "auto")
+
+    def _use_fused(self, T: int) -> bool:
+        """Fused Pallas core: auto on TPU for 128-aligned blocks (the only
+        shape the kernel supports; other block lengths take the XLA path,
+        which is exact for any T)."""
+        mode = self._fused_mode
+        if mode == "0" or T % 128 != 0 or self.dtype != jnp.float32:
+            return False
+        if mode in ("1", "interpret"):
+            return True
+        return pallas_r128.available()
+
     def update(self, state: EbuR128State, x: jax.Array) -> EbuR128State:
         """x: [..., C, T], any T >= 1."""
         *batch, C, T = x.shape
         assert C == self.nchan
         fragm = self.fragm
 
-        # 1) K-weighting + per-sample combined power (state NaN-flush per
-        # block, as the reference does per fragment: ebu_r128_proc.cc:331-334)
-        y, z = self.sys.apply(x, state.z)  # [..., C, T]
+        # 1+2) K-weighting power and 4x-oversampled true peak.  On TPU the
+        # two fuse into one Pallas kernel (ops/pallas_r128) that reads the
+        # input exactly once; elsewhere (or METERS_TPU_R128_FUSED=0) they
+        # run as the equivalent blocked XLA GEMMs.  Identical math either
+        # way; state NaN-flush per block, as the reference does per
+        # fragment (ebu_r128_proc.cc:331-334).
+        if self._use_fused(T):
+            pr, zr, hr, tpm = pallas_r128.fused_core(
+                x.reshape(-1, C, T),
+                state.z.reshape(-1, C, 4),
+                state.tp_hist.reshape(-1, C, 47),
+                tuple(np.asarray(self.gains, np.float32)),
+                self.sys.op(128),
+                interpret=self._fused_mode == "interpret",
+            )
+            z = zr.reshape(*batch, C, 4)
+            tp_hist = hr.reshape(*batch, C, 47)
+            p = pr.reshape(*batch, T)
+            dbtp = jnp.maximum(state.dbtp, tpm.reshape(*batch))
+        else:
+            y, z = self.sys.apply(x, state.z)  # [..., C, T]
+            p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
+            # true peak (oversampled |max|) — src/ebulv2.cc:344-347; fused
+            # reduce on the upsampler GEMM outputs (the 4T stream is never
+            # materialized)
+            upmax, tp_hist = resample.upsample4_absmax(x, state.tp_hist)
+            dbtp = jnp.maximum(state.dbtp, jnp.max(upmax, axis=-1))
         z = jnp.where(jnp.isfinite(z), z, 0.0)
-        p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
-
-        # 2) true peak (oversampled |max|) — src/ebulv2.cc:344-347; fused
-        # reduce on the upsampler GEMM outputs (the 4T stream is never
-        # materialized)
-        upmax, tp_hist = resample.upsample4_absmax(x, state.tp_hist)
-        dbtp = jnp.maximum(state.dbtp, jnp.max(upmax, axis=-1))
 
         # 3) fragment segmentation with carried partial fragment
         # (two-level shifted segment reduce, ops/segment.py)

@@ -1,0 +1,318 @@
+"""Fused Pallas TPU kernel for the EBU R128 hot path.
+
+One pass over the input block computes, per stream:
+
+  * the combined K-weighted power p[t] = sum_c gain_c * y_c[t]^2 — i.e.
+    everything the fragment-power machinery consumes
+    (ebu_r128_proc.cc:302-337 detect_process + power accumulate),
+  * the running max of the 4x-oversampled stream over all channels
+    (TruePeakdsp::process_max, truepeakdsp.cc:109-131, as used by
+    src/ebulv2.cc:344-347),
+
+carrying the per-channel 4-dim K-weighting filter state and 47-sample
+resampler history across blocks.  The math is identical to the unfused
+path (ops/lti.lti_scan + ops/resample.upsample4_absmax): the same blocked
+state-space operator (128-sample blocks) and the same polyphase block
+matrix, evaluated inside one kernel so the 4-byte/sample input is read
+from HBM exactly once and the only full-rate output is the 1-per-frame
+combined power (C+1 -> 1 passes of HBM traffic vs ~6 for the unfused
+XLA graph; docs/BENCHMARKS.md round-2 cost breakdown showed the update
+is HBM/pass-bound at production batch sizes).
+
+Layout: streams are rows; the C channels of a stream live in the lane
+dimension of one row (x is [B, C*T], a free reshape of [B, C, T]), and
+the kernel receives one lane-offset view of the same buffer per channel
+— so the channel power sum happens in registers, never in HBM.  Grid =
+(row_tiles, time_tiles), time innermost; TPU grids execute sequentially,
+so filter states, the previous 128-sample block (the true-peak conv
+halo) and the running oversampled max persist in VMEM scratch across
+time tiles.  Within a tile, a static python loop over 128-sample blocks
+issues the MXU work: two polyphase GEMMs per channel (the overlapping
+175-tap frame split into lane-aligned prev/current block matrices) and
+the 128x128 block-Toeplitz filter GEMM.
+
+Precision (measured on v5e, see docs/BENCHMARKS.md round 3): Mosaic
+lowers a plain f32 jnp.dot to a SINGLE bf16 MXU pass (~2e-3 relative —
+0.03 dB loudness error, over the ±0.01 budget), and DotAlgorithm presets
+are not supported in kernels.  So the big GEMMs run as a manual 3-pass
+bf16 split (a@b ~ ah@bh + ah@bl + al@bh — exactly XLA Precision.HIGH,
+the suite default, 4.5e-6 relative), with weight splits precomputed on
+the host.  The tiny d=4 state recurrences (s@At, s@Sy, x@G) avoid the
+MXU entirely: they run as exact-f32 VPU broadcast/reduce chains, so the
+per-block state propagation is *more* accurate than the unfused HIGH
+GEMM path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLK = 128  # filter/conv block size (samples)
+_HL = 24
+_NH = 2 * _HL - 1  # 47-sample true-peak conv history
+_F32 = jnp.float32
+
+
+def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact hi/lo bf16 split of an f32 array (pure numpy via ml_dtypes:
+    runs on host even inside a jit trace — the splits embed as constants,
+    never tracers; see the ops/lti.py numpy-cache note)."""
+    import ml_dtypes
+
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    a = np.asarray(a, np.float32)
+    hi = a.astype(bf16)
+    lo = (a - hi.astype(np.float32)).astype(bf16)
+    return hi, lo
+
+
+def _make_kernel(nblk: int, gains: tuple[float, ...], op):
+    """Build the kernel body.  The small state-space operators (At [4,4],
+    Sy [4,128], G [128,4]) are baked in as numpy constants; the big GEMM
+    weights (kmat, polyphase m1/m2) arrive as pre-split bf16 ref pairs."""
+    C = len(gains)
+    # At entries are python-float immediates; Sy / G^T arrive as refs
+    # (Pallas kernels may not capture array constants)
+    at = np.asarray(op.at, np.float32)  # [4, 4], s' = s @ at
+
+    def kernel(*refs):
+        x_refs = refs[:C]
+        (z0_ref, hist_ref, sy_ref, gt_ref, kh_ref, kl_ref, m1h_ref,
+         m1l_ref, m2h_ref, m2l_ref) = refs[C: C + 10]
+        p_ref, zout_ref, histout_ref, tpmax_ref = refs[C + 10: C + 14]
+        s_scr, prev_scr, acc_scr = refs[C + 14:]
+        sy_rows = [sy_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
+        g_cols = [gt_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            s_scr[...] = z0_ref[...]
+            prev_scr[...] = jnp.zeros_like(prev_scr)
+            # per channel: the 47-sample history is the tail of a
+            # virtual previous block
+            for c in range(C):
+                prev_scr[:, (c + 1) * _BLK - _NH: (c + 1) * _BLK] = (
+                    hist_ref[:, c * _NH: (c + 1) * _NH]
+                )
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        kh, kl = kh_ref[...], kl_ref[...]
+        m1h, m1l = m1h_ref[...], m1l_ref[...]
+        m2h, m2l = m2h_ref[...], m2l_ref[...]
+
+        def split(a):
+            hi = a.astype(jnp.bfloat16)
+            return hi, (a - hi.astype(_F32)).astype(jnp.bfloat16)
+
+        dot = functools.partial(jnp.dot, preferred_element_type=_F32)
+
+        def dot3(ahl, bh, bl):
+            ah, al = ahl
+            return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+        # per-channel state: four [R, 1] columns (exact-f32 VPU math)
+        s = [[s_scr[:, 4 * c + i: 4 * c + i + 1] for i in range(4)]
+             for c in range(C)]
+        prev_hl = [split(prev_scr[:, _BLK * c: _BLK * (c + 1)])
+                   for c in range(C)]
+        acc = acc_scr[...]  # [R, 512] running |oversampled| max, all chans
+
+        last = [None] * C
+        for j in range(nblk):
+            p = None
+            for c in range(C):
+                xb = x_refs[c][:, _BLK * j: _BLK * (j + 1)]  # [R, 128]
+                x_hl = split(xb)
+                # 4x polyphase oversample: the 175-sample overlapping
+                # frame [prev[81:], xb] @ M, as two lane-aligned GEMMs
+                ytp = dot3(prev_hl[c], m1h, m1l) + dot3(x_hl, m2h, m2l)
+                acc = jnp.maximum(acc, jnp.abs(ytp))
+                # K-weighting: y = xb@K + s@Sy (VPU); s' = s@At + xb@G
+                sc = s[c]
+                y = dot3(x_hl, kh, kl) + (
+                    sc[0] * sy_rows[0] + sc[1] * sy_rows[1]
+                    + sc[2] * sy_rows[2] + sc[3] * sy_rows[3]
+                )
+                gin = [
+                    jnp.sum(xb * g_cols[i], axis=1, keepdims=True)
+                    for i in range(4)
+                ]
+                s[c] = [
+                    at[0, i] * sc[0] + at[1, i] * sc[1]
+                    + at[2, i] * sc[2] + at[3, i] * sc[3] + gin[i]
+                    for i in range(4)
+                ]
+                wy = gains[c] * y * y
+                p = wy if p is None else p + wy
+                prev_hl[c] = x_hl
+                last[c] = xb
+            p_ref[:, _BLK * j: _BLK * (j + 1)] = p
+
+        for c in range(C):
+            for i in range(4):
+                s_scr[:, 4 * c + i: 4 * c + i + 1] = s[c][i]
+            prev_scr[:, _BLK * c: _BLK * (c + 1)] = last[c]
+            histout_ref[:, c * _NH: (c + 1) * _NH] = last[c][:, _BLK - _NH:]
+        acc_scr[...] = acc
+        # small outputs: written every tile (same block index), last wins
+        zout_ref[...] = s_scr[...]
+        tpmax_ref[...] = jnp.max(acc, axis=1, keepdims=True)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _tp_split_mats(tb: int = _BLK) -> tuple[np.ndarray, ...]:
+    """Split the [tb+47, 4*tb] polyphase block matrix (ops/resample.
+    _block_matrix) into aligned prev-block / current-block halves, each
+    pre-split hi/lo bf16."""
+    from .design import upsample4_kernel
+    from .resample import _block_matrix
+
+    taps = upsample4_kernel(_HL).astype(np.float32)
+    M = _block_matrix(taps, tb)  # [tb + 47, 4*tb]
+    m1 = np.zeros((tb, 4 * tb), np.float32)
+    m1[tb - _NH:, :] = M[:_NH, :]
+    m2 = np.ascontiguousarray(M[_NH:, :])  # [tb, 4*tb]
+    return _split_bf16_host(m1) + _split_bf16_host(m2)
+
+
+def _pick_tile(n: int, options) -> int | None:
+    for o in options:
+        if n % o == 0:
+            return o
+    return None
+
+
+def fused_core(
+    x: jax.Array,
+    z0: jax.Array,
+    hist: jax.Array,
+    gains: tuple[float, ...],
+    op,
+    *,
+    interpret: bool = False,
+):
+    """Fused K-weighting combined power + true-peak max over one block.
+
+    Args:
+      x:     [B, C, T] input streams, T % 128 == 0.
+      z0:    [B, C, 4] K-weighting filter state.
+      hist:  [B, C, 47] true-peak resampler history.
+      gains: per-channel power gains (R128_CHAN_GAIN / mono 2.0), static.
+      op:    ops.lti.LTIBlockOp for the K-weighting system at block=128
+             (numpy leaves; baked into the kernel as constants).
+
+    Returns:
+      (p [B, T], z [B, C, 4], hist [B, C, 47], tpmax [B]): combined
+      K-weighted power, updated states, and the block's max absolute
+      oversampled sample over all channels.
+    """
+    B, C, T = x.shape
+    assert T % _BLK == 0, (T, _BLK)
+    assert C == len(gains)
+    assert op.block == _BLK and op.d == 4 and op.m == 1 and op.p == 1
+
+    # channels ride in the lane dim: one row per stream (free reshapes)
+    x2 = x.reshape(B, C * T)
+    z2 = z0.reshape(B, C * 4)
+    h2 = hist.reshape(B, C * _NH)
+
+    rpad = (-B) % 8
+    if rpad:
+        pad = lambda a: jnp.pad(a, ((0, rpad), (0, 0)))
+        x2, z2, h2 = pad(x2), pad(z2), pad(h2)
+    Bp = B + rpad
+
+    r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
+    nb = T // _BLK
+    # blocks per time tile: capped at 8 — larger unrolls blow the 16 MB
+    # VMEM scoped-allocation budget (measured at k=25, r_tile=128, C=2)
+    k = _pick_tile(nb, range(8, 0, -1))
+    t_tile = k * _BLK
+    nt = T // t_tile
+    grid = (Bp // r_tile, nt)
+
+    # big-GEMM weights, pre-split hi/lo bf16 on the host (kmat is stored
+    # transposed by build_lti_block_op so y = u @ kmat directly)
+    kh, kl = _split_bf16_host(op.kmat)  # [128, 128]
+    m1h, m1l, m2h, m2l = _tp_split_mats()  # [128, 512] each
+    sy = np.asarray(op.sy, np.float32)  # [4, 128]
+    gt = np.ascontiguousarray(np.asarray(op.g, np.float32).T)  # [4, 128]
+    weights = tuple(
+        jnp.asarray(w) for w in (sy, gt, kh, kl, m1h, m1l, m2h, m2l)
+    )
+
+    vm = pltpu.VMEM
+    rmap = lambda r, t: (r, 0)
+    cmap = lambda r, t: (0, 0)
+
+    def chan_spec(c):
+        # lane-block view of channel c's [r_tile, t_tile] time tile
+        return pl.BlockSpec(
+            (r_tile, t_tile),
+            lambda r, t, c=c: (r, c * nt + t),
+            memory_space=vm,
+        )
+
+    p, zout, histout, tpmax = pl.pallas_call(
+        _make_kernel(k, tuple(float(g) for g in gains), op),
+        grid=grid,
+        in_specs=[chan_spec(c) for c in range(C)] + [
+            pl.BlockSpec((r_tile, C * 4), rmap, memory_space=vm),
+            pl.BlockSpec((r_tile, C * _NH), rmap, memory_space=vm),
+        ] + [
+            pl.BlockSpec(w.shape, cmap, memory_space=vm) for w in weights
+        ],
+        out_specs=(
+            pl.BlockSpec((r_tile, t_tile), lambda r, t: (r, t),
+                         memory_space=vm),
+            pl.BlockSpec((r_tile, C * 4), rmap, memory_space=vm),
+            pl.BlockSpec((r_tile, C * _NH), rmap, memory_space=vm),
+            pl.BlockSpec((r_tile, 1), rmap, memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, T), _F32),
+            jax.ShapeDtypeStruct((Bp, C * 4), _F32),
+            jax.ShapeDtypeStruct((Bp, C * _NH), _F32),
+            jax.ShapeDtypeStruct((Bp, 1), _F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r_tile, C * 4), _F32),
+            pltpu.VMEM((r_tile, C * _BLK), _F32),
+            pltpu.VMEM((r_tile, 4 * _BLK), _F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * C * T * 3 * (_BLK + 2 * 4 * _BLK),
+            bytes_accessed=Bp * T * (C + 1) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*([x2] * C), z2, h2, *weights)
+
+    if rpad:
+        p, zout, histout, tpmax = (
+            p[:B], zout[:B], histout[:B], tpmax[:B]
+        )
+    return (
+        p,
+        zout.reshape(B, C, 4),
+        histout.reshape(B, C, _NH),
+        tpmax[:, 0],
+    )
+
+
+def available() -> bool:
+    """True on a TPU backend (same gate as ops/pallas_ballistics)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
