@@ -189,3 +189,24 @@ def test_surround_pair_routing_runtime_change():
     assert run._cache_size() == 1  # traced routing: one compile
     assert c1[0] > 0.9 and c1[1] < -0.9
     assert c2[0] < -0.9 and c2[1] > 0.9
+
+
+def test_stream_pipelined_matches_serial():
+    """Double-buffered ingest (device_put prefetch) == plain stream()."""
+    from meters_lv2_tpu.io.stream import chunk_array, stream, stream_pipelined
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+
+    x = make_signal("mix", 4.0)
+    m = EbuR128Meter(FS, nchan=2)
+    s1 = stream(m, m.init(()), chunk_array(x, 9600))
+    seen = []
+    s2 = stream_pipelined(
+        m, m.init(()), chunk_array(x, 9600), depth=3, read_every=10,
+        on_read=lambda i, out: seen.append(float(out["loudness_M"])),
+    )
+    o1, _ = m.read(s1)
+    o2, _ = m.read(s2)
+    for k in ("loudness_M", "loudness_S", "integrated", "dbtp"):
+        np.testing.assert_array_equal(o1[k], o2[k])
+    assert bool(jnp.all(s1.hist_m == s2.hist_m))
+    assert len(seen) == 2  # 20 chunks, read every 10
