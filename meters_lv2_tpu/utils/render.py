@@ -109,6 +109,48 @@ def radar_image(
     return img
 
 
+def ebu_histogram_image(
+    hist: np.ndarray,
+    size: int = 200,
+    plus9: bool = False,
+) -> np.ndarray:
+    """Render the EBU loudness-distribution histogram view -> RGBA.
+
+    gui/ebur.c:588-655: polar wedges over a 1.5 pi arc; bin k (0.1 LU,
+    LUFS = 0.1*k - 70) maps to an angle in [-59, -5] LUFS (or [-41, -14]
+    with the +9 fine scale), wedge radius = R * (1 + log10(count /
+    total)) — i.e. bins holding >=10% of the measured points reach out
+    of the center, with a log falloff.
+    """
+    amin, amax = (290, 560) if plus9 else (110, 650)
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., 3] = 255
+    c = size / 2.0
+    total = float(hist.sum())
+    if total <= 0:
+        return img
+    astep = 1.5 * math.pi / (amax - amin)
+    aoff = math.pi / 2.0 - amin * astep
+    R = c - 2
+    for k in range(amin, min(amax, len(hist))):
+        if hist[k] <= 0:
+            continue
+        rad = R * (1.0 + math.log10(hist[k] / total))
+        if rad < 5.0 * size / 400.0:
+            continue
+        ang = k * astep + aoff
+        ts = np.linspace(0, rad, max(int(rad), 1))
+        xs = (c + np.cos(ang) * ts).astype(int)
+        ys = (c + np.sin(ang) * ts).astype(int)
+        ok = (xs >= 0) & (xs < size) & (ys >= 0) & (ys < size)
+        # green->red gradient with level, like histogram_pattern
+        frac = (k - amin) / (amax - amin)
+        img[ys[ok], xs[ok], 0] = np.uint8(80 + 175 * frac)
+        img[ys[ok], xs[ok], 1] = np.uint8(220 - 160 * frac)
+        img[ys[ok], xs[ok], 2] = 40
+    return img
+
+
 def bitmeter_image(
     hit: np.ndarray,
     one: np.ndarray,

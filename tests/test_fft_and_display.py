@@ -174,6 +174,14 @@ def test_render_images():
     assert (bar[..., 1] > 100).any()
     radar = render.radar_image(np.full(360, -23.0), 10)
     assert radar.shape == (200, 200, 4)
+    # EBU histogram view: a -23 LUFS cluster lights bins near k=470
+    hist = np.zeros(751, np.int32)
+    hist[468:473] = 200
+    h = render.ebu_histogram_image(hist)
+    assert h.shape == (200, 200, 4) and (h[..., 0] > 0).any()
+    assert (render.ebu_histogram_image(np.zeros(751, np.int32))[..., :3] == 0).all()
+    h9 = render.ebu_histogram_image(hist, plus9=True)
+    assert (h9[..., 1] > 0).any()
 
 
 def test_analyze_impulse_transfer():
@@ -301,3 +309,21 @@ def test_api_doc_examples_execute():
     blocks = re.findall(r"```python\n(.*?)```", open(path).read(), re.S)
     assert blocks
     exec(compile(blocks[-1], "API.md", "exec"), {})
+
+
+def test_gen_docs_tool(tmp_path):
+    """tools/gen_docs.py (the makedoc.sh analog) emits a page per schema."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "gen_docs",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_docs.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    files = mod.generate(str(tmp_path))
+    from meters_lv2_tpu.models.schema import SCHEMAS
+    assert len(files) == len(SCHEMAS) + 1
+    idx = (tmp_path / "index.html").read_text()
+    for name in SCHEMAS:
+        assert f'{name}.html' in idx
+    assert "EBUr128" in idx
