@@ -119,3 +119,30 @@ def test_fused_gate_rejects_unaligned():
     m = EbuR128Meter(48000, nchan=2)
     assert not m._use_fused(2400 + 1)
     assert not m._use_fused(100)
+
+
+def test_fused_core_5channel():
+    """5.0 surround: per-channel gains {1,1,1,1.41,1.41} through the
+    dynamic channel-grid path."""
+    from meters_lv2_tpu.ops.design import R128_CHAN_GAIN
+
+    sys = lti.LTISystem(*design.k_weighting_state_space(48000))
+    rng = np.random.default_rng(6)
+    B, C, T = 2, 5, 384
+    gains = tuple(float(g) for g in R128_CHAN_GAIN[:C])
+    x = jnp.asarray(0.3 * rng.standard_normal((B, C, T)), jnp.float32)
+    z0 = jnp.asarray(0.01 * rng.standard_normal((B, C, 4)), jnp.float32)
+    hist = jnp.asarray(0.1 * rng.standard_normal((B, C, 47)), jnp.float32)
+
+    y_ref, z_ref = sys.apply(x, z0)
+    g = jnp.asarray(gains)
+    p_ref = jnp.sum(g[:, None] * y_ref * y_ref, axis=-2)
+    tpm_c, hist_ref = resample.upsample4_absmax(x, hist)
+
+    p, z, h, tpm = pallas_r128.fused_core(
+        x, z0, hist, gains, sys.op(128), interpret=True
+    )
+    np.testing.assert_allclose(p, p_ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(h, hist_ref)
+    np.testing.assert_allclose(tpm, jnp.max(tpm_c, -1), rtol=1e-4)
