@@ -20,16 +20,19 @@ XLA graph; docs/BENCHMARKS.md round-2 cost breakdown showed the update
 is HBM/pass-bound at production batch sizes).
 
 Layout: streams are rows; the C channels of a stream live in the lane
-dimension of one row (x is [B, C*T], a free reshape of [B, C, T]), and
-the kernel receives one lane-offset view of the same buffer per channel
-— so the channel power sum happens in registers, never in HBM.  Grid =
-(row_tiles, time_tiles), time innermost; TPU grids execute sequentially,
-so filter states, the previous 128-sample block (the true-peak conv
-halo) and the running oversampled max persist in VMEM scratch across
-time tiles.  Within a tile, a static python loop over 128-sample blocks
-issues the MXU work: two polyphase GEMMs per channel (the overlapping
-175-tap frame split into lane-aligned prev/current block matrices) and
-the 128x128 block-Toeplitz filter GEMM.
+dimension of one row (x is [B, C*T], a free reshape of [B, C, T]).  The
+grid is (row_tiles, time_tiles, channel) with channel INNERMOST: each
+program handles one channel's [r_tile, t_tile] window (the x BlockSpec
+picks the lane offset from the channel index, so the single input
+operand is never duplicated — an early two-operand variant cost a full
+94 MB copy per call), and the channel power sum accumulates in the
+resident output block across the C channel programs.  TPU grids execute
+sequentially, so per-channel filter states, the previous 128-sample
+block (the true-peak conv halo) and the running oversampled max persist
+in VMEM scratch across time tiles.  Within a program, a static python
+loop over 128-sample blocks issues the MXU work: two polyphase GEMMs
+(the overlapping 175-tap frame split into lane-aligned prev/current
+block matrices) and the 128x128 block-Toeplitz filter GEMM.
 
 Precision (measured on v5e, see docs/BENCHMARKS.md round 3): Mosaic
 lowers a plain f32 jnp.dot to a SINGLE bf16 MXU pass (~2e-3 relative —
@@ -72,38 +75,35 @@ def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _make_kernel(nblk: int, gains: tuple[float, ...], op):
-    """Build the kernel body.  The small state-space operators (At [4,4],
-    Sy [4,128], G [128,4]) are baked in as numpy constants; the big GEMM
-    weights (kmat, polyphase m1/m2) arrive as pre-split bf16 ref pairs."""
-    C = len(gains)
-    # At entries are python-float immediates; Sy / G^T arrive as refs
-    # (Pallas kernels may not capture array constants)
+def _make_kernel(nblk: int, C: int, op):
+    """Build the kernel body for one (row_tile, time_tile, channel)
+    program.  The small state-space operator At [4,4] is baked in as
+    python-float immediates; Sy / G^T and the big GEMM weights arrive as
+    refs (Pallas kernels may not capture array constants)."""
     at = np.asarray(op.at, np.float32)  # [4, 4], s' = s @ at
 
-    def kernel(*refs):
-        x_refs = refs[:C]
-        (z0_ref, hist_ref, sy_ref, gt_ref, kh_ref, kl_ref, m1h_ref,
-         m1l_ref, m2h_ref, m2l_ref) = refs[C: C + 10]
-        p_ref, zout_ref, histout_ref, tpmax_ref = refs[C + 10: C + 14]
-        s_scr, prev_scr, acc_scr = refs[C + 14:]
-        sy_rows = [sy_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
-        g_cols = [gt_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
-
+    def kernel(x_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
+               kh_ref, kl_ref, m1h_ref, m1l_ref, m2h_ref, m2l_ref,
+               p_ref, zout_ref, histout_ref, tpmax_ref,
+               s_scr, prev_scr, acc_scr):
         t = pl.program_id(1)
+        c = pl.program_id(2)
 
         @pl.when(t == 0)
         def _():
-            s_scr[...] = z0_ref[...]
-            prev_scr[...] = jnp.zeros_like(prev_scr)
-            # per channel: the 47-sample history is the tail of a
-            # virtual previous block
-            for c in range(C):
-                prev_scr[:, (c + 1) * _BLK - _NH: (c + 1) * _BLK] = (
-                    hist_ref[:, c * _NH: (c + 1) * _NH]
-                )
+            # entering this channel's first time tile: load carried state
+            s_scr[c] = z0_ref[0]
+            prev_scr[c] = jnp.zeros_like(prev_scr[c])
+            # the 47-sample history is the tail of a virtual previous block
+            prev_scr[c, :, _BLK - _NH:] = hist_ref[0]
+
+        @pl.when((t == 0) & (c == 0))
+        def _():
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
+        gain = gains_ref[c, 0]
+        sy_rows = [sy_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
+        g_cols = [gt_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
         kh, kl = kh_ref[...], kl_ref[...]
         m1h, m1l = m1h_ref[...], m1l_ref[...]
         m2h, m2l = m2h_ref[...], m2l_ref[...]
@@ -118,52 +118,51 @@ def _make_kernel(nblk: int, gains: tuple[float, ...], op):
             ah, al = ahl
             return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
 
-        # per-channel state: four [R, 1] columns (exact-f32 VPU math)
-        s = [[s_scr[:, 4 * c + i: 4 * c + i + 1] for i in range(4)]
-             for c in range(C)]
-        prev_hl = [split(prev_scr[:, _BLK * c: _BLK * (c + 1)])
-                   for c in range(C)]
+        # this channel's state: four [R, 1] columns (exact-f32 VPU math)
+        sc = [s_scr[c, :, i: i + 1] for i in range(4)]
+        prev_hl = split(prev_scr[c])
         acc = acc_scr[...]  # [R, 512] running |oversampled| max, all chans
 
-        last = [None] * C
+        first = c == 0
         for j in range(nblk):
-            p = None
-            for c in range(C):
-                xb = x_refs[c][:, _BLK * j: _BLK * (j + 1)]  # [R, 128]
-                x_hl = split(xb)
-                # 4x polyphase oversample: the 175-sample overlapping
-                # frame [prev[81:], xb] @ M, as two lane-aligned GEMMs
-                ytp = dot3(prev_hl[c], m1h, m1l) + dot3(x_hl, m2h, m2l)
-                acc = jnp.maximum(acc, jnp.abs(ytp))
-                # K-weighting: y = xb@K + s@Sy (VPU); s' = s@At + xb@G
-                sc = s[c]
-                y = dot3(x_hl, kh, kl) + (
-                    sc[0] * sy_rows[0] + sc[1] * sy_rows[1]
-                    + sc[2] * sy_rows[2] + sc[3] * sy_rows[3]
-                )
-                gin = [
-                    jnp.sum(xb * g_cols[i], axis=1, keepdims=True)
-                    for i in range(4)
-                ]
-                s[c] = [
-                    at[0, i] * sc[0] + at[1, i] * sc[1]
-                    + at[2, i] * sc[2] + at[3, i] * sc[3] + gin[i]
-                    for i in range(4)
-                ]
-                wy = gains[c] * y * y
-                p = wy if p is None else p + wy
-                prev_hl[c] = x_hl
-                last[c] = xb
-            p_ref[:, _BLK * j: _BLK * (j + 1)] = p
+            xb = x_ref[:, _BLK * j: _BLK * (j + 1)]  # [R, 128]
+            x_hl = split(xb)
+            # 4x polyphase oversample: the 175-sample overlapping frame
+            # [prev[81:], xb] @ M, as two lane-aligned GEMMs
+            ytp = dot3(prev_hl, m1h, m1l) + dot3(x_hl, m2h, m2l)
+            acc = jnp.maximum(acc, jnp.abs(ytp))
+            # K-weighting: y = xb@K + s@Sy (VPU); s' = s@At + xb@G
+            y = dot3(x_hl, kh, kl) + (
+                sc[0] * sy_rows[0] + sc[1] * sy_rows[1]
+                + sc[2] * sy_rows[2] + sc[3] * sy_rows[3]
+            )
+            gin = [
+                jnp.sum(xb * g_cols[i], axis=1, keepdims=True)
+                for i in range(4)
+            ]
+            sc = [
+                at[0, i] * sc[0] + at[1, i] * sc[1]
+                + at[2, i] * sc[2] + at[3, i] * sc[3] + gin[i]
+                for i in range(4)
+            ]
+            wy = gain * y * y
+            sl = slice(_BLK * j, _BLK * (j + 1))
+            # channel programs revisit the same resident p block:
+            # c == 0 initializes, later channels accumulate
+            if C == 1:
+                p_ref[:, sl] = wy
+            else:
+                p_ref[:, sl] = jnp.where(first, wy, p_ref[:, sl] + wy)
+            prev_hl = x_hl
+            last = xb
 
-        for c in range(C):
-            for i in range(4):
-                s_scr[:, 4 * c + i: 4 * c + i + 1] = s[c][i]
-            prev_scr[:, _BLK * c: _BLK * (c + 1)] = last[c]
-            histout_ref[:, c * _NH: (c + 1) * _NH] = last[c][:, _BLK - _NH:]
+        for i in range(4):
+            s_scr[c, :, i: i + 1] = sc[i]
+        prev_scr[c] = last
         acc_scr[...] = acc
-        # small outputs: written every tile (same block index), last wins
-        zout_ref[...] = s_scr[...]
+        # small outputs: revisited blocks, the final program's write wins
+        zout_ref[0] = s_scr[c]
+        histout_ref[0] = last[:, _BLK - _NH:]
         tpmax_ref[...] = jnp.max(acc, axis=1, keepdims=True)
 
     return kernel
@@ -200,6 +199,8 @@ def fused_core(
     op,
     *,
     interpret: bool = False,
+    r_tile: int | None = None,
+    k: int | None = None,
 ):
     """Fused K-weighting combined power + true-peak max over one block.
 
@@ -221,25 +222,31 @@ def fused_core(
     assert C == len(gains)
     assert op.block == _BLK and op.d == 4 and op.m == 1 and op.p == 1
 
-    # channels ride in the lane dim: one row per stream (free reshapes)
+    # channels ride in the lane dim: one row per stream (a free reshape);
+    # the tiny states go channel-major so each channel program gets a
+    # leading-index block
     x2 = x.reshape(B, C * T)
-    z2 = z0.reshape(B, C * 4)
-    h2 = hist.reshape(B, C * _NH)
+    z2 = jnp.swapaxes(z0, 0, 1)  # [C, B, 4]
+    h2 = jnp.swapaxes(hist, 0, 1)  # [C, B, 47]
 
     rpad = (-B) % 8
     if rpad:
-        pad = lambda a: jnp.pad(a, ((0, rpad), (0, 0)))
-        x2, z2, h2 = pad(x2), pad(z2), pad(h2)
+        x2 = jnp.pad(x2, ((0, rpad), (0, 0)))
+        z2 = jnp.pad(z2, ((0, 0), (0, rpad), (0, 0)))
+        h2 = jnp.pad(h2, ((0, 0), (0, rpad), (0, 0)))
     Bp = B + rpad
 
-    r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
+    if r_tile is None:
+        r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
     nb = T // _BLK
     # blocks per time tile: capped at 8 — larger unrolls blow the 16 MB
     # VMEM scoped-allocation budget (measured at k=25, r_tile=128, C=2)
-    k = _pick_tile(nb, range(8, 0, -1))
+    if k is None:
+        k = _pick_tile(nb, range(8, 0, -1))
+    assert Bp % r_tile == 0 and nb % k == 0, (Bp, r_tile, nb, k)
     t_tile = k * _BLK
     nt = T // t_tile
-    grid = (Bp // r_tile, nt)
+    grid = (Bp // r_tile, nt, C)
 
     # big-GEMM weights, pre-split hi/lo bf16 on the host (kmat is stored
     # transposed by build_lti_block_op so y = u @ kmat directly)
@@ -250,44 +257,43 @@ def fused_core(
     weights = tuple(
         jnp.asarray(w) for w in (sy, gt, kh, kl, m1h, m1l, m2h, m2l)
     )
+    gvec = jnp.asarray(np.asarray(gains, np.float32)[:, None])  # [C, 1]
 
     vm = pltpu.VMEM
-    rmap = lambda r, t: (r, 0)
-    cmap = lambda r, t: (0, 0)
-
-    def chan_spec(c):
-        # lane-block view of channel c's [r_tile, t_tile] time tile
-        return pl.BlockSpec(
-            (r_tile, t_tile),
-            lambda r, t, c=c: (r, c * nt + t),
-            memory_space=vm,
-        )
+    cmap = lambda r, t, c: (0, 0)
+    smap = lambda r, t, c: (c, r, 0)  # channel-major per-channel states
 
     p, zout, histout, tpmax = pl.pallas_call(
-        _make_kernel(k, tuple(float(g) for g in gains), op),
+        _make_kernel(k, C, op),
         grid=grid,
-        in_specs=[chan_spec(c) for c in range(C)] + [
-            pl.BlockSpec((r_tile, C * 4), rmap, memory_space=vm),
-            pl.BlockSpec((r_tile, C * _NH), rmap, memory_space=vm),
+        in_specs=[
+            # one operand; the channel picks the lane-block offset
+            pl.BlockSpec((r_tile, t_tile), lambda r, t, c: (r, c * nt + t),
+                         memory_space=vm),
+            pl.BlockSpec((1, r_tile, 4), smap, memory_space=vm),
+            pl.BlockSpec((1, r_tile, _NH), smap, memory_space=vm),
+            pl.BlockSpec((C, 1), lambda r, t, c: (0, 0),
+                         memory_space=pltpu.SMEM),
         ] + [
             pl.BlockSpec(w.shape, cmap, memory_space=vm) for w in weights
         ],
         out_specs=(
-            pl.BlockSpec((r_tile, t_tile), lambda r, t: (r, t),
+            pl.BlockSpec((r_tile, t_tile), lambda r, t, c: (r, t),
                          memory_space=vm),
-            pl.BlockSpec((r_tile, C * 4), rmap, memory_space=vm),
-            pl.BlockSpec((r_tile, C * _NH), rmap, memory_space=vm),
-            pl.BlockSpec((r_tile, 1), rmap, memory_space=vm),
+            pl.BlockSpec((1, r_tile, 4), smap, memory_space=vm),
+            pl.BlockSpec((1, r_tile, _NH), smap, memory_space=vm),
+            pl.BlockSpec((r_tile, 1), lambda r, t, c: (r, 0),
+                         memory_space=vm),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, T), _F32),
-            jax.ShapeDtypeStruct((Bp, C * 4), _F32),
-            jax.ShapeDtypeStruct((Bp, C * _NH), _F32),
+            jax.ShapeDtypeStruct((C, Bp, 4), _F32),
+            jax.ShapeDtypeStruct((C, Bp, _NH), _F32),
             jax.ShapeDtypeStruct((Bp, 1), _F32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((r_tile, C * 4), _F32),
-            pltpu.VMEM((r_tile, C * _BLK), _F32),
+            pltpu.VMEM((C, r_tile, 4), _F32),
+            pltpu.VMEM((C, r_tile, _BLK), _F32),
             pltpu.VMEM((r_tile, 4 * _BLK), _F32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -296,18 +302,15 @@ def fused_core(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*([x2] * C), z2, h2, *weights)
+    )(x2, z2, h2, gvec, *weights)
 
+    zout = jnp.swapaxes(zout, 0, 1)  # [Bp, C, 4]
+    histout = jnp.swapaxes(histout, 0, 1)
     if rpad:
         p, zout, histout, tpmax = (
             p[:B], zout[:B], histout[:B], tpmax[:B]
         )
-    return (
-        p,
-        zout.reshape(B, C, 4),
-        histout.reshape(B, C, _NH),
-        tpmax[:, 0],
-    )
+    return p, zout, histout, tpmax[:, 0]
 
 
 def available() -> bool:
