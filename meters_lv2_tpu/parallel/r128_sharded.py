@@ -30,8 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.ebur128 import (
     EbuR128Meter, HIST_BINS, RADAR_POINTS, _MWIN, _SWIN,
 )
-from ..ops import resample
-from .timepar import lti_apply_sp
+from ..ops import pallas_r128, resample
+from .timepar import lti_apply_sp, lti_entry_state_sp
 
 
 def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
@@ -49,19 +49,30 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
     k = jax.lax.axis_index(sp_axis)
     nsp = jax.lax.axis_size(sp_axis)
 
-    # ---- K-weighting with sequence-parallel state handoff
-    s0 = jnp.zeros((B, C, 4), x.dtype)
-    y, _ = lti_apply_sp(meter.sys, x, s0, sp_axis)
-    p = jnp.sum(jnp.square(y) * meter.gains[:, None], axis=-2)
-
-    # ---- true peak: halo the previous shard's last 47 samples
+    # ---- true peak halo: the previous shard's last 47 samples
     tail = x[..., -47:]
     halo = jax.lax.ppermute(
         tail, sp_axis, [(i, i + 1) for i in range(nsp - 1)]
     )
     halo = jnp.where(k == 0, jnp.zeros_like(halo), halo)
-    up, _ = resample.upsample4(x, halo)
-    dbtp = jax.lax.pmax(jnp.max(jnp.abs(up), axis=(-2, -1)), sp_axis)
+
+    # ---- K-weighting (sequence-parallel state handoff) + true peak
+    s0 = jnp.zeros((B, C, 4), x.dtype)
+    if meter._use_fused(Tl):
+        # cross-shard entry state from the SP composition, then the local
+        # pass runs the fused Pallas kernel (one HBM read of the shard)
+        s_in = lti_entry_state_sp(meter.sys, x, s0, sp_axis)
+        p, _, _, tpm = pallas_r128.fused_core(
+            x, s_in, halo, tuple(np.asarray(meter.gains, np.float32)),
+            meter.sys.op(128),
+            interpret=meter._fused_mode == "interpret",
+        )
+        dbtp = jax.lax.pmax(tpm, sp_axis)
+    else:
+        y, _ = lti_apply_sp(meter.sys, x, s0, sp_axis)
+        p = jnp.sum(jnp.square(y) * meter.gains[:, None], axis=-2)
+        upmax, _ = resample.upsample4_absmax(x, halo)
+        dbtp = jax.lax.pmax(jnp.max(upmax, axis=-1), sp_axis)
 
     # ---- fragment powers + windowed loudness with 59-fragment halo
     fp = p.reshape(B, nfrag, fragm).sum(-1) / fragm + 1e-30 / fragm

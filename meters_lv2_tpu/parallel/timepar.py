@@ -41,6 +41,27 @@ def lti_apply_sp(
     Returns (y_local, s_final) — y_local are this device's exact outputs;
     s_final (the stream-end state) is returned on every device.
     """
+    s_in = lti_entry_state_sp(sys, u, s0, axis_name, prefer_block)
+
+    # pass 2: exact local outputs from the true incoming state
+    y, s_out = sys.apply(u, s_in, prefer_block)
+    # stream-end state = device nsp-1's s_out; broadcast it
+    nsp = jax.lax.axis_size(axis_name)
+    s_fin = jax.lax.all_gather(s_out, axis_name)[nsp - 1]
+    return y, s_fin
+
+
+def lti_entry_state_sp(
+    sys: LTISystem,
+    u: jax.Array,
+    s0: jax.Array,
+    axis_name: str,
+    prefer_block: int = 128,
+):
+    """This device's exact incoming state for its time shard (pass 1 of
+    lti_apply_sp).  Exposed so shard bodies that evaluate the local
+    recurrence by other means (e.g. the fused Pallas R128 kernel) can
+    still compose cross-device state exactly."""
     k = jax.lax.axis_index(axis_name)
     nsp = jax.lax.axis_size(axis_name)
 
@@ -63,10 +84,4 @@ def lti_apply_sp(
 
     # join shard_map varying-axes metadata with the gathered responses
     s0 = s0 + jnp.zeros_like(b_all[0])
-    s_in = jax.lax.fori_loop(0, nsp, step, s0)
-
-    # pass 2: exact local outputs from the true incoming state
-    y, s_out = sys.apply(u, s_in, prefer_block)
-    # stream-end state = device nsp-1's s_out; broadcast it
-    s_fin = jax.lax.all_gather(s_out, axis_name)[nsp - 1]
-    return y, s_fin
+    return jax.lax.fori_loop(0, nsp, step, s0)

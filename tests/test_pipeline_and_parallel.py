@@ -382,3 +382,54 @@ def test_ragged_batch_matches_per_file_serial():
             else np.asarray(refs["cor"]["correlation"]),
             atol=1e-6, err_msg=f"file {i} correlation",
         )
+
+
+def test_sharded_r128_fused_kernel_matches_serial():
+    """The sharded analysis' fused-Pallas branch (TPU default; interpret
+    mode here) == the serial meter: SP entry-state composition feeding
+    the kernel, TP halo as kernel history."""
+    import os
+
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.parallel import make_mesh
+    from meters_lv2_tpu.parallel.r128_sharded import analyze_r128
+
+    m = EbuR128Meter(FS, nchan=2)
+    mesh = make_mesh(dp=4, sp=2)
+    x = make_signal("bursts", 6.0)
+    xs = np.stack([x, 0.5 * x, 0.25 * x, 2.0 * x]).astype(np.float32)
+
+    old = os.environ.get("METERS_TPU_R128_FUSED")
+    os.environ["METERS_TPU_R128_FUSED"] = "interpret"
+    try:
+        out = analyze_r128(m, jnp.asarray(xs), mesh)
+    finally:
+        if old is None:
+            del os.environ["METERS_TPU_R128_FUSED"]
+        else:
+            os.environ["METERS_TPU_R128_FUSED"] = old
+
+    os.environ["METERS_TPU_R128_FUSED"] = "0"
+    try:
+        st = m.init((4,))
+        st = jax.jit(m.update)(st, jnp.asarray(xs))
+        ref, _ = jax.jit(m.read)(st)
+    finally:
+        if old is None:
+            del os.environ["METERS_TPU_R128_FUSED"]
+        else:
+            os.environ["METERS_TPU_R128_FUSED"] = old
+
+    np.testing.assert_array_equal(
+        np.asarray(out["hist_m"]), np.asarray(st.hist_m)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["max_M"]), np.asarray(ref["max_M"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["integrated"]), np.asarray(ref["integrated"]),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["dbtp"]), np.asarray(st.dbtp), rtol=1e-4
+    )
