@@ -63,14 +63,16 @@ def load_files(
     try:
         from ..runtime import native
 
-        if native.load() is not None:
-            # production ingest: native thread-pool decode keeps the
-            # accelerator fed (the reference's host feeds one RT stream;
-            # a batch framework's data-loader is the analogous native
-            # runtime component)
-            decoded = native.wav_read_batch(paths)
+        lib = native.load()
     except Exception:
-        decoded = None
+        lib = None  # native runtime unavailable: pure-python fallback
+    if lib is not None:
+        # production ingest: native thread-pool decode keeps the
+        # accelerator fed (the reference's host feeds one RT stream; a
+        # batch framework's data-loader is the analogous native runtime
+        # component).  Decode errors (corrupt file etc.) propagate — only
+        # runtime *availability* falls back to python.
+        decoded = native.wav_read_batch(paths)
     if decoded is None:
         from .wav import read_wav
 

@@ -565,7 +565,10 @@ class EbuR128Meter:
             "construct EbuR128Meter(runtime_radar_speed=True) for "
             "mid-stream radar speed changes"
         )
-        sec = jnp.clip(jnp.asarray(seconds, jnp.float32), 30.0, 600.0)
+        # schema range (models/schema.py radar_seconds: 30 s .. 4 h); the
+        # reference clamps only the resulting interval at >= 4096 samples
+        # (ebu_set_radarspeed, src/ebulv2.cc:75-78)
+        sec = jnp.clip(jnp.asarray(seconds, jnp.float32), 30.0, 14400.0)
         spd = jnp.round(sec * self.fs / RADAR_POINTS).astype(jnp.int32)
         spd = jnp.maximum(spd, 4096)
         return dataclasses.replace(

@@ -79,8 +79,12 @@ class SurroundMeter:
             pr = jnp.asarray(pairs)
             assert pr.shape == (self.npairs, 2), pr.shape
             # rintf + clamp to the channel count (surmeter.c:122-125)
-            a_idx = jnp.clip(pr[:, 0].astype(jnp.int32), 0, self.nchan - 1)
-            b_idx = jnp.clip(pr[:, 1].astype(jnp.int32), 0, self.nchan - 1)
+            a_idx = jnp.clip(
+                jnp.round(pr[:, 0]).astype(jnp.int32), 0, self.nchan - 1
+            )
+            b_idx = jnp.clip(
+                jnp.round(pr[:, 1]).astype(jnp.int32), 0, self.nchan - 1
+            )
         sel_a = jax.nn.one_hot(a_idx, self.nchan, dtype=x.dtype)  # [P, C]
         sel_b = jax.nn.one_hot(b_idx, self.nchan, dtype=x.dtype)
         xa = jnp.einsum("pc,...ct->...pt", sel_a, x)

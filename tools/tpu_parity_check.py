@@ -60,7 +60,7 @@ def main(name="ebur128_mix"):
     import jax
     import jax.numpy as jnp
 
-    from signals import make_signal
+    from signals import make_signal, make_surround
     from meters_lv2_tpu.models.ebur128 import EbuR128Meter
 
     if name.startswith("truepeak"):
@@ -74,9 +74,12 @@ def main(name="ebur128_mix"):
         open(os.path.join(os.path.dirname(__file__), "..", "tests",
                           "fixtures", f"{name}.json"))
     )
-    x = make_signal(fx["signal"], fx["seconds"])
-    if fx["nchan"] == 1:
-        x = x[:1]
+    if fx["nchan"] == 5:
+        x = make_surround(fx["signal"], fx["seconds"], fs=fx["fs"])
+    else:
+        x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])
+        if fx["nchan"] == 1:
+            x = x[:1]
     m = EbuR128Meter(fx["fs"], nchan=fx["nchan"])
     st = m.init(())
     upd = jax.jit(m.update)
