@@ -35,6 +35,32 @@ def unpack_settings(word: int) -> dict:
     }
 
 
+def save_state_sharded(state, path: str) -> None:
+    """Checkpoint a (possibly mesh-sharded) meter-state pytree with orbax.
+
+    Unlike save_state (host npz roundtrip), each device writes its own
+    shards — no host gather — so long-running sharded analyses
+    (parallel/r128_sharded on a dp x sp mesh) checkpoint at device speed.
+    `path` must be a fresh absolute directory."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+
+
+def load_state_sharded(like_state, path: str):
+    """Restore a save_state_sharded checkpoint, re-sharding to match
+    `like_state`'s shardings (arrays land on the same mesh layout)."""
+    import orbax.checkpoint as ocp
+
+    target = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        like_state,
+    )
+    return ocp.StandardCheckpointer().restore(path, target)
+
+
 def save_state(state, path_or_file):
     """Serialize a meter-state pytree to .npz (host roundtrip)."""
     leaves, treedef = jax.tree_util.tree_flatten(state)

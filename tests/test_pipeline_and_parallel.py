@@ -433,3 +433,36 @@ def test_sharded_r128_fused_kernel_matches_serial():
     np.testing.assert_allclose(
         np.asarray(out["dbtp"]), np.asarray(st.dbtp), rtol=1e-4
     )
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """orbax checkpoint of a mesh-sharded meter state: no host gather,
+    restore lands on the same shardings, measurement resumes exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.parallel import make_mesh
+    from meters_lv2_tpu.utils.state import load_state_sharded, save_state_sharded
+
+    m = EbuR128Meter(FS, nchan=2)
+    mesh = make_mesh(dp=8, sp=1)
+    shard = NamedSharding(mesh, P("dp"))
+    x = jnp.asarray(
+        np.stack([make_signal("mix", 2.0) for _ in range(8)]), jnp.float32
+    )
+    st = jax.device_put(m.init((8,)), shard)
+    x = jax.device_put(x, shard)
+    st = jax.jit(m.update)(st, x)
+
+    path = str(tmp_path / "ckpt")
+    save_state_sharded(st, path)
+    st2 = load_state_sharded(jax.tree.map(lambda a: a, st), path)
+
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding == a.sharding, (a.sharding, b.sharding)
+
+    # resume: one more update on the restored state == on the original
+    s_a = jax.jit(m.update)(st, x)
+    s_b = jax.jit(m.update)(st2, x)
+    np.testing.assert_array_equal(np.asarray(s_a.hist_m), np.asarray(s_b.hist_m))
