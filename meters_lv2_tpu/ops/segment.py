@@ -45,6 +45,21 @@ def shifted_segments(
     (positions [0, off) and beyond off+T contribute the identity).
     """
     *batch, T = p.shape
+    if seg_len >= T:
+        # long-window fast path (e.g. DR-14's 3 s windows fed 1 s blocks):
+        # at most one boundary falls inside the block, so two masked
+        # reductions over the unpadded [..., T] suffice — the general path
+        # below pads to n_slots*seg_len (a >= 2x data blowup here)
+        t = jnp.arange(T, dtype=jnp.int32)
+        in0 = t < (seg_len - off[..., None])  # [..., T]
+        if reduce == "sum":
+            r0 = jnp.sum(jnp.where(in0, p, 0.0), -1)
+            r1 = jnp.sum(jnp.where(in0, 0.0, p), -1)
+        else:
+            r0 = jnp.max(jnp.where(in0, p, 0.0), -1)
+            r1 = jnp.max(jnp.where(in0, 0.0, p), -1)
+        out = jnp.zeros((*batch, n_slots), p.dtype)
+        return out.at[..., 0].set(r0).at[..., 1].set(r1)
     L = n_slots * seg_len
     pad = jnp.zeros((*batch, L - T), p.dtype)
     rows = jnp.concatenate([p, pad], -1).reshape(*batch, n_slots, seg_len)
