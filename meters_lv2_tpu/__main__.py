@@ -63,6 +63,50 @@ def _to_py(o):
     return [round(float(v), 6) for v in arr.ravel()]
 
 
+def _render_views(render_dir, names, outs, files):
+    """Save each meter's end-of-file inline view as {file}_{meter}.png
+    (the batch analog of the reference's inline-display renderers)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from .utils import db, render
+    from .utils.png import write_png
+
+    os.makedirs(render_dir, exist_ok=True)
+    needle_types = {
+        "vu": db.MT_VU, "din": db.MT_DIN, "nor": db.MT_NOR,
+        "bbc": db.MT_BBC, "ebu": db.MT_EBU,
+    }
+    kranges = {"k12": 12.0, "k14": 14.0, "k20": 20.0}
+    for i, path in enumerate(files):
+        base = os.path.splitext(os.path.basename(path))[0]
+        for n in names:
+            o = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[i], outs[n]
+            )
+            img = None
+            if n == "r128":
+                img = render.radar_image(o["radar_m"], int(o["radar_pos"]))
+            elif n in needle_types:
+                v = o if not isinstance(o, dict) else next(iter(o.values()))
+                img = render.needle_image(float(np.max(v)), needle_types[n])
+            elif n in kranges:
+                rms_db = 20.0 * np.log10(max(float(np.max(o["rms"])), 1e-10))
+                img = render.bargraph_image(rms_db, kranges[n])
+            elif n == "spectrum":
+                img = render.spectrum_image(o["bands"], o.get("peaks"))
+            elif n == "sigdist":
+                img = render.sigdist_image(o["hist"])
+            elif n == "bitmeter":
+                img = render.bitmeter_image(o["hit"], o["one"])
+            if img is not None:
+                write_png(
+                    os.path.join(render_dir, f"{base}_{n}.png"), img
+                )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="meters_lv2_tpu", description=__doc__)
     ap.add_argument("files", nargs="+", help="WAV files to analyze")
@@ -76,6 +120,11 @@ def main(argv=None):
     ap.add_argument(
         "--target-rate", type=int, default=None,
         help="resample mixed-rate inputs to this rate on ingest",
+    )
+    ap.add_argument(
+        "--render-dir", default=None,
+        help="write end-of-file meter views as PNGs (radar, needle faces,"
+             " bargraphs, spectrum, sigdist, bitmeter) to this directory",
     )
     args = ap.parse_args(argv)
 
@@ -109,6 +158,9 @@ def main(argv=None):
     st = pipe.init((B,))
     st = pipe.run_stream_ragged(st, jnp.asarray(x), lengths, chunk)
     outs, _ = jax.jit(pipe.read)(st)
+
+    if args.render_dir:
+        _render_views(args.render_dir, names, outs, args.files)
 
     results = []
     for i, path in enumerate(args.files):

@@ -466,3 +466,27 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     s_a = jax.jit(m.update)(st, x)
     s_b = jax.jit(m.update)(st2, x)
     np.testing.assert_array_equal(np.asarray(s_a.hist_m), np.asarray(s_b.hist_m))
+
+
+def test_cli_render_dir(tmp_path, capsys):
+    """--render-dir saves inline-view PNGs per file and meter."""
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    t = np.arange(FS) / FS
+    x = np.stack(
+        [0.25 * np.sin(2 * np.pi * 440 * t),
+         0.2 * np.sin(2 * np.pi * 880 * t)]
+    ).astype(np.float32)
+    p = str(tmp_path / "song.wav")
+    write_wav(p, x, FS)
+    rd = tmp_path / "views"
+    rc = main([p, "--meters", "r128,vu,k20,spectrum", "--json",
+               "--render-dir", str(rd)])
+    capsys.readouterr()
+    assert rc == 0
+    got = sorted(f.name for f in rd.iterdir())
+    assert got == ["song_k20.png", "song_r128.png", "song_spectrum.png",
+                   "song_vu.png"]
+    magic = (rd / "song_r128.png").read_bytes()[:8]
+    assert magic == b"\x89PNG\r\n\x1a\n"
