@@ -213,11 +213,12 @@ class EbuR128Meter:
         return os.environ.get("METERS_TPU_R128_FUSED", "auto")
 
     def _use_fused(self, T: int) -> bool:
-        """Fused Pallas core: auto on TPU for 128-aligned blocks (the only
-        shape the kernel supports; other block lengths take the XLA path,
-        which is exact for any T)."""
+        """Fused Pallas core: auto on TPU for blocks of >= 128 samples
+        (the kernel covers the 128-aligned bulk; any remainder tail runs
+        through the XLA path with chained state).  Smaller blocks take
+        the XLA path, which is exact for any T."""
         mode = self._fused_mode
-        if mode == "0" or T % 128 != 0 or self.dtype != jnp.float32:
+        if mode == "0" or T < 128 or self.dtype != jnp.float32:
             return False
         if mode in ("1", "interpret"):
             return True
@@ -236,8 +237,9 @@ class EbuR128Meter:
         # way; state NaN-flush per block, as the reference does per
         # fragment (ebu_r128_proc.cc:331-334).
         if self._use_fused(T):
+            Tm = (T // 128) * 128
             pr, zr, hr, tpm = pallas_r128.fused_core(
-                x.reshape(-1, C, T),
+                x[..., :Tm].reshape(-1, C, Tm),
                 state.z.reshape(-1, C, 4),
                 state.tp_hist.reshape(-1, C, 47),
                 tuple(np.asarray(self.gains, np.float32)),
@@ -246,8 +248,17 @@ class EbuR128Meter:
             )
             z = zr.reshape(*batch, C, 4)
             tp_hist = hr.reshape(*batch, C, 47)
-            p = pr.reshape(*batch, T)
+            p = pr.reshape(*batch, Tm)
             dbtp = jnp.maximum(state.dbtp, tpm.reshape(*batch))
+            if T > Tm:  # non-128-aligned tail: XLA path, chained state
+                xt = x[..., Tm:]
+                yt, z = self.sys.apply(xt, z)
+                pt = jnp.sum(
+                    jnp.square(yt) * self.gains[:, None], axis=-2
+                )
+                upt, tp_hist = resample.upsample4_absmax(xt, tp_hist)
+                p = jnp.concatenate([p, pt], axis=-1)
+                dbtp = jnp.maximum(dbtp, jnp.max(upt, axis=-1))
         else:
             y, z = self.sys.apply(x, state.z)  # [..., C, T]
             p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)

@@ -115,10 +115,32 @@ def test_fused_update_scalar_batch(_fused_interpret):
     np.testing.assert_allclose(o["dbtp"], o_ref["dbtp"], rtol=1e-4)
 
 
-def test_fused_gate_rejects_unaligned():
+def test_fused_gate_small_blocks():
     m = EbuR128Meter(48000, nchan=2)
-    assert not m._use_fused(2400 + 1)
-    assert not m._use_fused(100)
+    assert not m._use_fused(100)  # < one kernel block
+
+
+def test_fused_update_unaligned_tail(_fused_interpret):
+    """T = 128k + r: kernel bulk + XLA tail with chained state equals
+    the pure XLA path (e.g. 1 s chunks at 44.1 kHz)."""
+    fs = 44100
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        0.2 * rng.standard_normal((2, 2, 44100)), jnp.float32
+    )
+    m = EbuR128Meter(fs, nchan=2)
+    st = m.init((2,))
+    os.environ["METERS_TPU_R128_FUSED"] = "0"
+    s_ref = m.update(m.update(st, x), x)
+    o_ref, _ = m.read(s_ref)
+    os.environ["METERS_TPU_R128_FUSED"] = "interpret"
+    s = m.update(m.update(st, x), x)
+    o, _ = m.read(s)
+    assert int(jnp.sum(jnp.abs(s.hist_m - s_ref.hist_m))) == 0
+    np.testing.assert_allclose(
+        o["loudness_M"], o_ref["loudness_M"], atol=2e-3
+    )
+    np.testing.assert_allclose(o["dbtp"], o_ref["dbtp"], rtol=1e-4)
 
 
 def test_fused_core_5channel():
