@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from ..ops import swar
 from .base import register
 
-NEXP = 256  # exponent values 0..255; positions exp+k go up to 254+23
 NPOS = 280  # hit/one position range (matches reference region width)
 _CAP = 2147483647
 

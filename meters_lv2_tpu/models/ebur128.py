@@ -236,6 +236,14 @@ class EbuR128Meter:
         # run as the equivalent blocked XLA GEMMs.  Identical math either
         # way; state NaN-flush per block, as the reference does per
         # fragment (ebu_r128_proc.cc:331-334).
+        def xla_core(xt, z0, hist0):
+            # unfused blocked-GEMM path (exact for any T): K-weighted
+            # combined power + fused-reduce oversampled |max|
+            yt, z1 = self.sys.apply(xt, z0)
+            pt = jnp.sum(jnp.square(yt) * self.gains[:, None], axis=-2)
+            upt, hist1 = resample.upsample4_absmax(xt, hist0)
+            return pt, jnp.max(upt, axis=-1), z1, hist1
+
         if self._use_fused(T):
             Tm = (T // 128) * 128
             pr, zr, hr, tpm = pallas_r128.fused_core(
@@ -251,22 +259,12 @@ class EbuR128Meter:
             p = pr.reshape(*batch, Tm)
             dbtp = jnp.maximum(state.dbtp, tpm.reshape(*batch))
             if T > Tm:  # non-128-aligned tail: XLA path, chained state
-                xt = x[..., Tm:]
-                yt, z = self.sys.apply(xt, z)
-                pt = jnp.sum(
-                    jnp.square(yt) * self.gains[:, None], axis=-2
-                )
-                upt, tp_hist = resample.upsample4_absmax(xt, tp_hist)
+                pt, tpm_t, z, tp_hist = xla_core(x[..., Tm:], z, tp_hist)
                 p = jnp.concatenate([p, pt], axis=-1)
-                dbtp = jnp.maximum(dbtp, jnp.max(upt, axis=-1))
+                dbtp = jnp.maximum(dbtp, tpm_t)
         else:
-            y, z = self.sys.apply(x, state.z)  # [..., C, T]
-            p = jnp.sum(jnp.square(y) * self.gains[:, None], axis=-2)
-            # true peak (oversampled |max|) — src/ebulv2.cc:344-347; fused
-            # reduce on the upsampler GEMM outputs (the 4T stream is never
-            # materialized)
-            upmax, tp_hist = resample.upsample4_absmax(x, state.tp_hist)
-            dbtp = jnp.maximum(state.dbtp, jnp.max(upmax, axis=-1))
+            p, tpm, z, tp_hist = xla_core(x, state.z, state.tp_hist)
+            dbtp = jnp.maximum(state.dbtp, tpm)
         z = jnp.where(jnp.isfinite(z), z, 0.0)
 
         # 3) fragment segmentation with carried partial fragment

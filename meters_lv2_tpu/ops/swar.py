@@ -26,7 +26,6 @@ counting the words.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,16 +66,16 @@ def positional_count(wv: jax.Array) -> jax.Array:
                (lambda a: a & _M4, lambda a: (a >> 4) & _M4)]
     streams = [_group_sum(s, 17) for s in streams]  # slots <= 255
     # final: accumulate bytes in int32 over the residual axis
-    out = jnp.zeros((*wv.shape[:-1], 32), jnp.int32)
+    cols: list = [None] * 32
     for sidx, s in enumerate(streams):
         # stream index bits encode (p>>2 & 1, p>>1 & 1, p & 1)
         low3 = ((sidx & 1) << 2) | (sidx & 2) | ((sidx >> 2) & 1)
         s32 = s.astype(jnp.int32)
         for beta in range(4):
-            p = (beta << 3) | low3
-            cnt = ((s32 >> (8 * beta)) & 0xFF).sum(-1, dtype=jnp.int32)
-            out = out.at[..., p].set(cnt)
-    return out
+            cols[(beta << 3) | low3] = (
+                (s32 >> (8 * beta)) & 0xFF
+            ).sum(-1, dtype=jnp.int32)
+    return jnp.stack(cols, axis=-1)
 
 
 def positional_count_words(words: list[jax.Array]) -> jax.Array:
