@@ -592,3 +592,46 @@ def test_surround_parity():
                     g = rec["cor"][c]
                     o = float(np.asarray(out["correlation"])[c])
                     assert abs(o - g) < 1e-3, (c, o, g, rec["block"])
+
+
+def test_parity_96khz():
+    """96 kHz fixtures: high-rate coefficient rescaling (fragm = 4800,
+    4x-oversampled true peak at 384 kHz)."""
+    for fx in _fixtures("truepeak_96k"):
+        m = truepeak.TruePeakMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init((2,))
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"]: (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st)
+                rec = next(reads)
+                for c in range(2):
+                    assert_level(np.asarray(vals["level"])[c],
+                                 rec["values"][2 * c],
+                                 msg=f"tp96k lvl ch{c} blk {rec['block']}")
+                    assert_level(np.asarray(vals["peak"])[c],
+                                 rec["values"][2 * c + 1],
+                                 msg=f"tp96k peak ch{c} blk {rec['block']}")
+    for fx in _fixtures("ebur128_96k"):
+        m = ebur128.EbuR128Meter(fx["fs"], nchan=2)
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        rd = jax.jit(m.read)
+        mid = [r for r in fx["reads"] if "final" not in r]
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        it = iter(mid)
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"]: (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                out, _ = rd(st)
+                rec = next(it)
+                for key, mine in [("M", "loudness_M"), ("S", "loudness_S")]:
+                    g, o = rec[key], float(out[mine])
+                    if g > -199.0:
+                        assert abs(o - g) < TOL_DB, (key, o, g, rec["block"])
+        np.testing.assert_array_equal(np.asarray(st.hist_m), final["histM"])
+        np.testing.assert_array_equal(np.asarray(st.hist_s), final["histS"])

@@ -16,7 +16,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 from signals import ALL_SIGNALS, FS, make_signal  # noqa: E402
 
-GOLDEN = sys.argv[1] if len(sys.argv) > 1 else "/tmp/meters_golden/golden"
+# argv: [golden_binary_path] [case-name patterns...] — the binary is
+# recognized by being an existing file; everything else filters cases
+_args = sys.argv[1:]
+GOLDEN = "/tmp/meters_golden/golden"
+if _args and os.path.isfile(_args[0]):
+    GOLDEN = _args.pop(0)
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 BLOCK = 1024
 READ_EVERY = 16
@@ -50,6 +55,9 @@ CASES = [
     ("iec1_44k", 2, ["mix"], 6.0, 1024, 16, 44100),
     ("iec2_44k", 2, ["mix"], 6.0, 1024, 16, 44100),
     ("kmeter_44k", 2, ["bursts"], 6.0, 1024, 16, 44100),
+    # high rate (96 kHz: fragm = 4800; 4x-oversampled true peak at 384 k)
+    ("ebur128_96k", 2, ["mix"], 12.0, 1024, 16, 96000),
+    ("truepeak_96k", 2, ["intersample_peak"], 6.0, 1024, 16, 96000),
     ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
     # DR-14: >=5 complete 3 s (144001-sample) windows, incl. a silence-gated
     # stretch; read cadence = the km/tp read-reset parity contract
@@ -83,9 +91,13 @@ CASES = [
 ]
 
 
-def main():
+def main(patterns=()):
+    """Regenerate fixtures; with name patterns, only matching cases
+    (e.g. `python tools/gen_fixtures.py ebur128_96k`)."""
     os.makedirs(OUT, exist_ok=True)
     for case in CASES:
+        if patterns and not any(p in case[0] for p in patterns):
+            continue
         meter, nchan, signals, seconds = case[:4]
         block = case[4] if len(case) > 4 else BLOCK
         read_every = case[5] if len(case) > 5 else READ_EVERY
@@ -139,4 +151,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(tuple(_args))
