@@ -80,12 +80,14 @@ def _render_views(render_dir, names, outs, files):
         "bbc": db.MT_BBC, "ebu": db.MT_EBU,
     }
     kranges = {"k12": 12.0, "k14": 14.0, "k20": 20.0}
+    # fetch each meter's batched output once (not once per file)
+    host = {
+        n: jax.tree_util.tree_map(np.asarray, outs[n]) for n in names
+    }
     for i, path in enumerate(files):
         base = os.path.splitext(os.path.basename(path))[0]
         for n in names:
-            o = jax.tree_util.tree_map(
-                lambda a: np.asarray(a)[i], outs[n]
-            )
+            o = jax.tree_util.tree_map(lambda a: a[i], host[n])
             img = None
             if n == "r128":
                 img = render.radar_image(o["radar_m"], int(o["radar_pos"]))

@@ -238,7 +238,9 @@ class EbuR128Meter:
         # fragment (ebu_r128_proc.cc:331-334).
         def xla_core(xt, z0, hist0):
             # unfused blocked-GEMM path (exact for any T): K-weighted
-            # combined power + fused-reduce oversampled |max|
+            # combined power (ebu_r128_proc.cc:302-337) + fused-reduce
+            # oversampled |max| (TruePeakdsp::process_max as used by
+            # src/ebulv2.cc:344-347)
             yt, z1 = self.sys.apply(xt, z0)
             pt = jnp.sum(jnp.square(yt) * self.gains[:, None], axis=-2)
             upt, hist1 = resample.upsample4_absmax(xt, hist0)

@@ -26,6 +26,7 @@ counting the words.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -242,3 +242,17 @@ def test_ebu_integration_time_pauses():
     st = m.integr_start(st)
     st = jax.jit(m.update)(st, x)
     assert int(st.n_lo) + (int(st.n_hi) << 30) == 9600
+
+
+def test_swar_value_histogram_matches_bincount():
+    """ops/swar.value_histogram (the SWAR alternative to the one-hot
+    matmul; kept for wide-bin per-sample counting) is exact."""
+    from meters_lv2_tpu.ops import swar
+
+    rng = np.random.default_rng(11)
+    idx = rng.integers(-5, 370, (2, 3000)).astype(np.int32)
+    h = np.asarray(swar.value_histogram(jnp.asarray(idx), 361))
+    for b in range(2):
+        sel = idx[b][(idx[b] >= 0) & (idx[b] < 361)]
+        ref = np.bincount(sel, minlength=361)
+        np.testing.assert_array_equal(h[b], ref)

@@ -22,6 +22,8 @@ _args = sys.argv[1:]
 GOLDEN = "/tmp/meters_golden/golden"
 if _args and os.path.isfile(_args[0]):
     GOLDEN = _args.pop(0)
+elif _args and os.sep in _args[0]:
+    raise SystemExit(f"golden binary not found: {_args[0]}")
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 BLOCK = 1024
 READ_EVERY = 16
