@@ -168,3 +168,34 @@ def test_fused_core_5channel():
     np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(h, hist_ref)
     np.testing.assert_allclose(tpm, jnp.max(tpm_c, -1), rtol=1e-4)
+
+
+def test_fused_update_with_cadence_and_radar_speed(_fused_interpret):
+    """The fused core composes with the runtime-control features
+    (track_cadence snapshots, runtime radar speed) — they consume the
+    kernel's power output downstream."""
+    fs = 48000
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(
+        0.2 * rng.standard_normal((2, 2, 128 * 60)), jnp.float32
+    )
+    m = EbuR128Meter(
+        fs, nchan=2, track_cadence=True, runtime_radar_speed=True
+    )
+    st0 = m.init((2,))
+
+    os.environ["METERS_TPU_R128_FUSED"] = "0"
+    s_ref = m.update(m.update(st0, x), x)
+    os.environ["METERS_TPU_R128_FUSED"] = "interpret"
+    s = m.update(m.update(st0, x), x)
+
+    assert int(jnp.sum(jnp.abs(s.hist_m_snap - s_ref.hist_m_snap))) == 0
+    assert bool(jnp.all(s.count_m_snap == s_ref.count_m_snap))
+    o_ref, _ = m.read(s_ref, cadence_500ms=True)
+    o, _ = m.read(s, cadence_500ms=True)
+    np.testing.assert_allclose(
+        o["integrated"], o_ref["integrated"], atol=2e-3
+    )
+    # runtime radar-speed change still a pure state update under fused
+    s2 = m.set_radar_speed(s, 60.0)
+    assert bool(jnp.all(s2.radar_spd == int(round(60.0 * fs / 360))))
