@@ -130,7 +130,11 @@ def _make_kernel(nblk: int, C: int, op):
             # 4x polyphase oversample: the 175-sample overlapping frame
             # [prev[81:], xb] @ M, as two lane-aligned GEMMs
             ytp = dot3(prev_hl, m1h, m1l) + dot3(x_hl, m2h, m2l)
-            acc = jnp.maximum(acc, jnp.abs(ytp))
+            av = jnp.abs(ytp)
+            # NaN oversamples are skipped, as the reference's `if (v > m)`
+            # comparison does (truepeakdsp.cc:111-122)
+            av = jnp.where(av != av, 0.0, av)
+            acc = jnp.maximum(acc, av)
             # K-weighting: y = xb@K + s@Sy (VPU); s' = s@At + xb@G
             y = dot3(x_hl, kh, kl) + (
                 sc[0] * sy_rows[0] + sc[1] * sy_rows[1]

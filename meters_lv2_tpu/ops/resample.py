@@ -164,7 +164,12 @@ def upsample4_absmax(
         frames = jnp.concatenate([blocks, heads], axis=-1)
         M = jnp.asarray(_block_matrix(taps_np, step))
         y = jnp.matmul(frames, M, precision=_HIGH)
-        best = jnp.maximum(best, jnp.max(jnp.abs(y), axis=(-2, -1)))
+        av = jnp.abs(y)
+        # reference `if (v > m) m = v` (truepeakdsp.cc:111-122): NaN
+        # comparisons are false, so NaN oversamples are SKIPPED, not
+        # propagated (0 is the max identity here; +/-Inf still registers)
+        av = jnp.where(jnp.isnan(av), 0.0, av)
+        best = jnp.maximum(best, jnp.max(av, axis=(-2, -1)))
     return best, xp[..., -nh:]
 
 

@@ -113,3 +113,40 @@ def test_r128_and_spectrum_recover():
     bands = np.asarray(out["bands"])
     assert np.all(np.isfinite(bands))
     assert bands.argmax() == 16  # 997 Hz lands in the 1 kHz band
+
+
+def test_r128_dbtp_skips_nan():
+    """TruePeakdsp::process_max compares `if (v > m)` — NaN oversamples
+    are skipped, never poisoning dBTP (truepeakdsp.cc:111-122).  Both the
+    XLA path and the fused Pallas core must match."""
+    import os
+
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+
+    bad, clean = _corrupt_then_clean()
+    # NaN-only corruption: Inf must still register in the max (the
+    # reference keeps fabsf(inf)), NaN must be skipped
+    bad = np.where(np.isinf(bad), np.float32(0.1), bad)
+    m = EbuR128Meter(FS, nchan=2)
+
+    def run():
+        st = m.init(())
+        st = jax.jit(m.update)(st, jnp.stack([jnp.asarray(bad)] * 2))
+        st = jax.jit(m.update)(st, jnp.stack([jnp.asarray(clean)] * 2))
+        out, _ = m.read(st)
+        return float(out["dbtp"])
+
+    ref_clean = None
+    old = os.environ.get("METERS_TPU_R128_FUSED")
+    try:
+        os.environ["METERS_TPU_R128_FUSED"] = "0"
+        v_xla = run()
+        os.environ["METERS_TPU_R128_FUSED"] = "interpret"
+        v_fused = run()
+    finally:
+        if old is None:
+            os.environ.pop("METERS_TPU_R128_FUSED", None)
+        else:
+            os.environ["METERS_TPU_R128_FUSED"] = old
+    assert np.isfinite(v_xla) and v_xla > 0.0
+    np.testing.assert_allclose(v_fused, v_xla, rtol=1e-4)
