@@ -110,8 +110,10 @@ class DR14Meter:
         seg_sum = segment.shifted_segments(sq, off_bc, win_len, n_slots, "sum")
         # reference tracks peak_cur = MAX(peak_cur, v) of the SIGNED sample
         # (dr14.c:404) — positive peaks only, floor 0 (the 'max' reduce's
-        # identity)
-        seg_peak = segment.shifted_segments(x, off_bc, win_len, n_slots, "max")
+        # identity); the MAX macro's comparison skips NaN samples, so they
+        # map to the identity instead of poisoning the window peak
+        xpk = jnp.where(jnp.isnan(x), 0.0, x)
+        seg_peak = segment.shifted_segments(xpk, off_bc, win_len, n_slots, "max")
         seg_sum = seg_sum.at[..., 0].add(state.rms_sum)
 
         ncomp = (state.scnt + T) // win_len  # completed windows

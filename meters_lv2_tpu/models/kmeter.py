@@ -65,7 +65,10 @@ class KMeter:
 
         z = jnp.clip(state.z, 0.0, 50.0)
         sq = jnp.square(x)
-        t = jnp.max(sq, axis=-1)  # block digital peak (of x^2)
+        # block digital peak (of x^2); NaN samples are skipped as the
+        # reference's `if (t >= _peak)` comparison does (kmeterdsp.cc:124)
+        # — a NaN must not erase the block's legitimate peak
+        t = jnp.max(jnp.where(jnp.isnan(sq), 0.0, sq), axis=-1)
         _, z = self.sys.apply(sq.reshape(*batch, T // 4, 4), z)
 
         # NaN flush (kmeterdsp.cc:101-107)
