@@ -30,9 +30,10 @@ resident output block across the C channel programs.  TPU grids execute
 sequentially, so per-channel filter states, the previous 128-sample
 block (the true-peak conv halo) and the running oversampled max persist
 in VMEM scratch across time tiles.  Within a program, a static python
-loop over 128-sample blocks issues the MXU work: two polyphase GEMMs
-(the overlapping 175-tap frame split into lane-aligned prev/current
-block matrices) and the 128x128 block-Toeplitz filter GEMM.
+loop over 128-sample blocks issues the MXU work: the 128x128 block-
+Toeplitz filter GEMM and two stride-64 polyphase frame GEMMs (a 111-tap
+frame zero-padded to one 128-lane contraction tile -> 256 output lanes;
+see _tp_frame_mats for why this halves the TP MAC count).
 
 Precision (measured on v5e, see docs/BENCHMARKS.md round 3): Mosaic
 lowers a plain f32 jnp.dot to a SINGLE bf16 MXU pass (~2e-3 relative —
@@ -83,7 +84,7 @@ def _make_kernel(nblk: int, C: int, op):
     at = np.asarray(op.at, np.float32)  # [4, 4], s' = s @ at
 
     def kernel(x_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
-               kh_ref, kl_ref, m1h_ref, m1l_ref, m2h_ref, m2l_ref,
+               kh_ref, kl_ref, mth_ref, mtl_ref,
                p_ref, zout_ref, histout_ref, tpmax_ref,
                s_scr, prev_scr, acc_scr):
         t = pl.program_id(1)
@@ -105,8 +106,7 @@ def _make_kernel(nblk: int, C: int, op):
         sy_rows = [sy_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
         g_cols = [gt_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
         kh, kl = kh_ref[...], kl_ref[...]
-        m1h, m1l = m1h_ref[...], m1l_ref[...]
-        m2h, m2l = m2h_ref[...], m2l_ref[...]
+        mth, mtl = mth_ref[...], mtl_ref[...]
 
         def split(a):
             hi = a.astype(jnp.bfloat16)
@@ -120,21 +120,28 @@ def _make_kernel(nblk: int, C: int, op):
 
         # this channel's state: four [R, 1] columns (exact-f32 VPU math)
         sc = [s_scr[c, :, i: i + 1] for i in range(4)]
-        prev_hl = split(prev_scr[c])
-        acc = acc_scr[...]  # [R, 512] running |oversampled| max, all chans
+        prev = prev_scr[c]  # [R, 128] previous input block (f32)
+        acc = acc_scr[...]  # [R, 256] running |oversampled| max, all chans
+        zpad = jnp.zeros((prev.shape[0], _BLK - _TPB - _NH), _F32)
 
         first = c == 0
         for j in range(nblk):
             xb = x_ref[:, _BLK * j: _BLK * (j + 1)]  # [R, 128]
             x_hl = split(xb)
-            # 4x polyphase oversample: the 175-sample overlapping frame
-            # [prev[81:], xb] @ M, as two lane-aligned GEMMs
-            ytp = dot3(prev_hl, m1h, m1l) + dot3(x_hl, m2h, m2l)
-            av = jnp.abs(ytp)
-            # NaN oversamples are skipped, as the reference's `if (v > m)`
-            # comparison does (truepeakdsp.cc:111-122)
-            av = jnp.where(av != av, 0.0, av)
-            acc = jnp.maximum(acc, av)
+            # 4x polyphase oversample: two stride-64 frames per block,
+            # frame g = [x[64g-47 : 64g+64], 17 zero lanes] @ Mt
+            for fr in (
+                jnp.concatenate(
+                    [prev[:, _BLK - _NH:], xb[:, :_TPB], zpad], axis=1
+                ),
+                jnp.concatenate([xb[:, _TPB - _NH:], zpad], axis=1),
+            ):
+                ytp = dot3(split(fr), mth, mtl)  # [R, 256]
+                av = jnp.abs(ytp)
+                # NaN oversamples are skipped, as the reference's
+                # `if (v > m)` comparison does (truepeakdsp.cc:111-122)
+                av = jnp.where(av != av, 0.0, av)
+                acc = jnp.maximum(acc, av)
             # K-weighting: y = xb@K + s@Sy (VPU); s' = s@At + xb@G
             y = dot3(x_hl, kh, kl) + (
                 sc[0] * sy_rows[0] + sc[1] * sy_rows[1]
@@ -157,7 +164,7 @@ def _make_kernel(nblk: int, C: int, op):
                 p_ref[:, sl] = wy
             else:
                 p_ref[:, sl] = jnp.where(first, wy, p_ref[:, sl] + wy)
-            prev_hl = x_hl
+            prev = xb
             last = xb
 
         for i in range(4):
@@ -172,20 +179,26 @@ def _make_kernel(nblk: int, C: int, op):
     return kernel
 
 
+_TPB = 64  # true-peak frame stride: two frames per 128-sample block
+
+
 @functools.lru_cache(maxsize=8)
-def _tp_split_mats(tb: int = _BLK) -> tuple[np.ndarray, ...]:
-    """Split the [tb+47, 4*tb] polyphase block matrix (ops/resample.
-    _block_matrix) into aligned prev-block / current-block halves, each
-    pre-split hi/lo bf16."""
+def _tp_frame_mats() -> tuple[np.ndarray, np.ndarray]:
+    """[128, 256] hi/lo bf16 polyphase frame matrix at stride 64.
+
+    A stride-64 frame needs 64+47=111 input samples (zero-padded to one
+    128-lane contraction tile) and yields 256 output lanes — 1536 bf16
+    MAC/sample at 3-pass vs 3072 for the earlier stride-128 two-matrix
+    split, whose second matrix was 81/128 zero rows.  Measured 1.27x on
+    a TP-only kernel (docs/BENCHMARKS.md round 3)."""
     from .design import upsample4_kernel
     from .resample import _block_matrix
 
     taps = upsample4_kernel(_HL).astype(np.float32)
-    M = _block_matrix(taps, tb)  # [tb + 47, 4*tb]
-    m1 = np.zeros((tb, 4 * tb), np.float32)
-    m1[tb - _NH:, :] = M[:_NH, :]
-    m2 = np.ascontiguousarray(M[_NH:, :])  # [tb, 4*tb]
-    return _split_bf16_host(m1) + _split_bf16_host(m2)
+    M = _block_matrix(taps, _TPB)  # [111, 256]
+    Mp = np.zeros((_BLK, 4 * _TPB), np.float32)
+    Mp[: _TPB + _NH, :] = M
+    return _split_bf16_host(Mp)
 
 
 def _pick_tile(n: int, options) -> int | None:
@@ -243,10 +256,11 @@ def fused_core(
     if r_tile is None:
         r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
     nb = T // _BLK
-    # blocks per time tile: capped at 8 — larger unrolls blow the 16 MB
-    # VMEM scoped-allocation budget (measured at k=25, r_tile=128, C=2)
+    # blocks per time tile: capped at 15 (measured best of the compiling
+    # configs; k >= 25 unrolls blow the 16 MB VMEM scoped-allocation
+    # budget at r_tile=128)
     if k is None:
-        k = _pick_tile(nb, range(8, 0, -1))
+        k = _pick_tile(nb, range(15, 0, -1))
     assert Bp % r_tile == 0 and nb % k == 0, (Bp, r_tile, nb, k)
     t_tile = k * _BLK
     nt = T // t_tile
@@ -255,11 +269,11 @@ def fused_core(
     # big-GEMM weights, pre-split hi/lo bf16 on the host (kmat is stored
     # transposed by build_lti_block_op so y = u @ kmat directly)
     kh, kl = _split_bf16_host(op.kmat)  # [128, 128]
-    m1h, m1l, m2h, m2l = _tp_split_mats()  # [128, 512] each
+    mth, mtl = _tp_frame_mats()  # [128, 256]
     sy = np.asarray(op.sy, np.float32)  # [4, 128]
     gt = np.ascontiguousarray(np.asarray(op.g, np.float32).T)  # [4, 128]
     weights = tuple(
-        jnp.asarray(w) for w in (sy, gt, kh, kl, m1h, m1l, m2h, m2l)
+        jnp.asarray(w) for w in (sy, gt, kh, kl, mth, mtl)
     )
     gvec = jnp.asarray(np.asarray(gains, np.float32)[:, None])  # [C, 1]
 
@@ -298,7 +312,7 @@ def fused_core(
         scratch_shapes=[
             pltpu.VMEM((C, r_tile, 4), _F32),
             pltpu.VMEM((C, r_tile, _BLK), _F32),
-            pltpu.VMEM((r_tile, 4 * _BLK), _F32),
+            pltpu.VMEM((r_tile, 4 * _TPB), _F32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * C * T * 3 * (_BLK + 2 * 4 * _BLK),
