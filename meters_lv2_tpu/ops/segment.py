@@ -45,6 +45,10 @@ def shifted_segments(
     (positions [0, off) and beyond off+T contribute the identity).
     """
     *batch, T = p.shape
+    # n_slots == 1 cannot represent a boundary crossing: with off > 0 the
+    # post-boundary reduction lands in slot 1, and .at[..., 1] would be
+    # silently dropped as out-of-bounds (callers use T // seg_len + 2 >= 2)
+    assert n_slots >= 2, n_slots
     if seg_len >= T:
         # long-window fast path (e.g. DR-14's 3 s windows fed 1 s blocks):
         # at most one boundary falls inside the block, so two masked

@@ -60,13 +60,24 @@ def _analyze_shard(meter: EbuR128Meter, x, sp_axis: str):
     s0 = jnp.zeros((B, C, 4), x.dtype)
     if meter._use_fused(Tl):
         # cross-shard entry state from the SP composition, then the local
-        # pass runs the fused Pallas kernel (one HBM read of the shard)
+        # pass runs the fused Pallas kernel (one HBM read of the 128-aligned
+        # bulk); any remainder chains through the XLA path with the kernel's
+        # exit state, exactly as EbuR128Meter.update does — 44.1 kHz shards
+        # (fragm=2205, odd) are never 128-aligned
+        Tm = (Tl // 128) * 128
         s_in = lti_entry_state_sp(meter.sys, x, s0, sp_axis)
-        p, _, _, tpm = pallas_r128.fused_core(
-            x, s_in, halo, tuple(np.asarray(meter.gains, np.float32)),
+        p, zr, hr, tpm = pallas_r128.fused_core(
+            x[..., :Tm], s_in, halo,
+            tuple(np.asarray(meter.gains, np.float32)),
             meter.sys.op(128),
             interpret=meter._fused_mode == "interpret",
         )
+        if Tm < Tl:
+            yt, _ = meter.sys.apply(x[..., Tm:], zr)
+            pt = jnp.sum(jnp.square(yt) * meter.gains[:, None], axis=-2)
+            upt, _ = resample.upsample4_absmax(x[..., Tm:], hr)
+            p = jnp.concatenate([p, pt], axis=-1)
+            tpm = jnp.maximum(tpm, jnp.max(upt, axis=-1))
         dbtp = jax.lax.pmax(tpm, sp_axis)
     else:
         y, _ = lti_apply_sp(meter.sys, x, s0, sp_axis)

@@ -435,6 +435,50 @@ def test_sharded_r128_fused_kernel_matches_serial():
     )
 
 
+def test_sharded_r128_fused_misaligned_shard():
+    """Fused branch on shards whose length is NOT a multiple of 128 —
+    e.g. any 44.1 kHz run (fragm=2205, odd): the kernel covers the
+    128-aligned bulk and the remainder chains through the XLA tail, as
+    EbuR128Meter.update does.  Regression for the trace-time
+    AssertionError the unconditional fused call used to hit."""
+    import os
+
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.parallel import make_mesh
+    from meters_lv2_tpu.parallel.r128_sharded import analyze_r128
+
+    fs = 44100
+    m = EbuR128Meter(fs, nchan=2)
+    mesh = make_mesh(dp=4, sp=2)
+    x = make_signal("bursts", 6.0, fs=fs)  # Tl = 132300 = 60 frags, %128 != 0
+    xs = np.stack([x, 0.5 * x, 0.25 * x, 2.0 * x]).astype(np.float32)
+    assert (xs.shape[-1] // 2) % 128 != 0
+
+    old = os.environ.get("METERS_TPU_R128_FUSED")
+    os.environ["METERS_TPU_R128_FUSED"] = "interpret"
+    try:
+        out = analyze_r128(m, jnp.asarray(xs), mesh)
+    finally:
+        if old is None:
+            del os.environ["METERS_TPU_R128_FUSED"]
+        else:
+            os.environ["METERS_TPU_R128_FUSED"] = old
+
+    st = m.init((4,))
+    st = jax.jit(m.update)(st, jnp.asarray(xs))
+    ref, _ = jax.jit(m.read)(st)
+
+    np.testing.assert_array_equal(
+        np.asarray(out["hist_m"]), np.asarray(st.hist_m)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["max_M"]), np.asarray(ref["max_M"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["dbtp"]), np.asarray(st.dbtp), rtol=1e-4
+    )
+
+
 def test_sharded_checkpoint_roundtrip(tmp_path):
     """orbax checkpoint of a mesh-sharded meter state: no host gather,
     restore lands on the same shardings, measurement resumes exactly."""

@@ -16,14 +16,23 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 from signals import ALL_SIGNALS, FS, make_signal  # noqa: E402
 
-# argv: [golden_binary_path] [case-name patterns...] — the binary is
-# recognized by being an existing file; everything else filters cases
+# argv: [--golden PATH] [case-name patterns...].  A positional first arg is
+# accepted as the binary only when it contains a path separator — a bare
+# case-name filter can never be silently consumed as the binary even if a
+# same-named file happens to exist in cwd.
 _args = sys.argv[1:]
 GOLDEN = "/tmp/meters_golden/golden"
-if _args and os.path.isfile(_args[0]):
-    GOLDEN = _args.pop(0)
+if _args and _args[0] == "--golden":
+    if len(_args) < 2:
+        raise SystemExit("--golden requires a path")
+    GOLDEN = _args[1]
+    _args = _args[2:]
+    if not os.path.isfile(GOLDEN):
+        raise SystemExit(f"golden binary not found: {GOLDEN}")
 elif _args and os.sep in _args[0]:
-    raise SystemExit(f"golden binary not found: {_args[0]}")
+    GOLDEN = _args.pop(0)
+    if not os.path.isfile(GOLDEN):
+        raise SystemExit(f"golden binary not found: {GOLDEN}")
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 BLOCK = 1024
 READ_EVERY = 16
