@@ -17,18 +17,50 @@ import sys
 
 import numpy as np
 
+# every capability the reference bundles in x42-meter-collection
+# (doc/x42-meter.1:16-76, lv2ttl/plugins.h:26-52)
 METER_CHOICES = [
     "r128", "truepeak", "vu", "din", "nor", "bbc", "ebu", "bbcms",
     "k12", "k14", "k20", "cor", "dr14", "tpnrms", "spectrum", "sigdist",
-    "bitmeter",
+    "bitmeter", "surround", "goniometer", "phasewheel", "stereoscope",
 ]
+
+# GUI-thread display processors: run on the trailing audio window outside
+# the measuring pipeline (like the reference's GUI analyzing the most
+# recent ring-buffer / raw-atom audio, src/xfer.c, src/goniometerlv2.c)
+DISPLAY_METERS = ("goniometer", "phasewheel", "stereoscope")
+
+# meters whose reference plugin is stereo-only
+_STEREO_ONLY = ("bbcms", "cor", "goniometer", "phasewheel", "stereoscope")
+
+
+def applicable_meters(nchan: int) -> list[str]:
+    """The subset of METER_CHOICES that can run on nchan-channel audio
+    (the '--meters all' expansion)."""
+    out = []
+    for n in METER_CHOICES:
+        if n in _STEREO_ONLY and nchan != 2:
+            continue
+        if n == "surround" and not (3 <= nchan <= 8):
+            continue
+        if n == "r128" and nchan > 5:  # MAXCH=5 (ebu_r128_proc.h:26)
+            continue
+        out.append(n)
+    return out
 
 
 def build_meter(name: str, fs: float, nchan: int):
     from .models import (
-        cor, dr14, ebur128, kmeter, needle, sigdist, spectrum, truepeak,
-        bitmeter,
+        cor, dr14, ebur128, goniometer, kmeter, needle, phasewheel,
+        sigdist, spectrum, surround, truepeak, bitmeter,
     )
+
+    def _surround():
+        assert 3 <= nchan <= 8, (
+            f"surround needs 3..8 channels, file has {nchan}"
+        )
+        cls = getattr(surround, f"Surround{nchan}Meter")
+        return cls(fs)
 
     table = {
         "r128": lambda: ebur128.EbuR128Meter(fs, nchan=nchan),
@@ -48,8 +80,44 @@ def build_meter(name: str, fs: float, nchan: int):
         "spectrum": lambda: spectrum.SpectrumAnalyzer(fs),
         "sigdist": lambda: sigdist.SigDistMeter(fs),
         "bitmeter": lambda: bitmeter.BitMeter(fs),
+        "surround": _surround,
+        "goniometer": lambda: goniometer.Goniometer(fs),
+        "phasewheel": lambda: phasewheel.PhaseWheel(fs),
+        "stereoscope": lambda: phasewheel.Stereoscope(fs),
     }
     return table[name]()
+
+
+def _run_display_meters(names, x, lengths, fs):
+    """Run the GUI-thread display processors over each file's trailing
+    ~1 s window (hop-aligned), batched in one jitted call per meter.
+
+    Returns {meter: readout dict with leading batch axis}.  Mirrors the
+    reference split where these analyses run GUI-side on the most recent
+    audio (SURVEY §3.4) — the trace/wheel/scope views show current
+    content, not a whole-file aggregate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, C, _ = x.shape
+    outs = {}
+    for name in names:
+        m = build_meter(name, fs, C)
+        hop = m.stft.hop if hasattr(m, "stft") else 4
+        disp_T = hop * max(1, int(round(fs / hop)))  # ~1 s, hop-aligned
+        xw = np.zeros((B, C, disp_T), np.float32)
+        for i in range(B):
+            end = int(lengths[i])
+            n = min(end, disp_T)
+            xw[i, :, disp_T - n :] = x[i, :, end - n : end]
+
+        def run(xb, m=m):
+            st = m.init((B,))
+            return m.process(st, xb)[0]
+
+        outs[name] = jax.jit(run)(jnp.asarray(xw))
+    return outs
 
 
 def _to_py(o):
@@ -63,7 +131,7 @@ def _to_py(o):
     return [round(float(v), 6) for v in arr.ravel()]
 
 
-def _render_views(render_dir, names, outs, files):
+def _render_views(render_dir, names, outs, files, fs):
     """Save each meter's end-of-file inline view as {file}_{meter}.png
     (the batch analog of the reference's inline-display renderers)."""
     import os
@@ -80,6 +148,10 @@ def _render_views(render_dir, names, outs, files):
         "bbc": db.MT_BBC, "ebu": db.MT_EBU,
     }
     kranges = {"k12": 12.0, "k14": 14.0, "k20": 20.0}
+
+    def _db(v):
+        return 20.0 * np.log10(np.maximum(np.asarray(v, np.float64), 1e-10))
+
     # fetch each meter's batched output once (not once per file)
     host = {
         n: jax.tree_util.tree_map(np.asarray, outs[n]) for n in names
@@ -94,6 +166,11 @@ def _render_views(render_dir, names, outs, files):
             elif n in needle_types:
                 v = o if not isinstance(o, dict) else next(iter(o.values()))
                 img = render.needle_image(float(np.max(v)), needle_types[n])
+            elif n == "bbcms":
+                img = render.needle_image(float(o["mid"]), db.MT_BM6)
+            elif n == "cor":
+                v = o if not isinstance(o, dict) else o["correlation"]
+                img = render.cor_image(float(np.asarray(v)))
             elif n in kranges:
                 rms_db = 20.0 * np.log10(max(float(np.max(o["rms"])), 1e-10))
                 img = render.bargraph_image(rms_db, kranges[n])
@@ -103,6 +180,29 @@ def _render_views(render_dir, names, outs, files):
                 img = render.sigdist_image(o["hist"])
             elif n == "bitmeter":
                 img = render.bitmeter_image(o["hit"], o["one"])
+            elif n == "truepeak":
+                # dBTP digital bargraph + held-peak tick (src/dpy_bargraph.c)
+                img = render.surround_image(
+                    _db(o["level"]), _db(o["peak"]), None, width=80
+                )
+            elif n in ("dr14", "tpnrms"):
+                dr = float(o["dr_total"]) if "dr_total" in o else 21.0
+                img = render.dr14_image(dr, o["v_rms"], o["v_peak"])
+            elif n == "surround":
+                img = render.surround_image(
+                    _db(o["level"]), _db(o["peak"]), o["correlation"]
+                )
+            elif n == "goniometer":
+                img = render.goniometer_image(
+                    o["x"], o["y"], gain=float(o["gain"])
+                )
+            elif n == "phasewheel":
+                nb = o["phase"].shape[-1]
+                img = render.phasewheel_image(
+                    o["phase"][-1], o["level"][-1], fs / (2.0 * nb)
+                )
+            elif n == "stereoscope":
+                img = render.stereoscope_image(o["lr"], o["level"])
             if img is not None:
                 write_png(
                     os.path.join(render_dir, f"{base}_{n}.png"), img
@@ -141,11 +241,17 @@ def main(argv=None):
     fs = batch.rate
 
     names = [m.strip() for m in args.meters.split(",") if m.strip()]
+    if names == ["all"]:
+        names = applicable_meters(C)
     for n in names:
         if n not in METER_CHOICES:
             ap.error(f"unknown meter {n!r}")
+        if n in _STEREO_ONLY and C != 2:
+            ap.error(f"meter {n!r} needs stereo input, files have {C} channels")
+    disp_names = [n for n in names if n in DISPLAY_METERS]
+    pipe_names = [n for n in names if n not in DISPLAY_METERS]
     pipe = MeterPipeline(
-        {n: build_meter(n, fs, C) for n in names}, nchan=C
+        {n: build_meter(n, fs, C) for n in pipe_names}, nchan=C
     )
 
     chunk = int(fs * args.chunk_seconds)
@@ -160,9 +266,11 @@ def main(argv=None):
     st = pipe.init((B,))
     st = pipe.run_stream_ragged(st, jnp.asarray(x), lengths, chunk)
     outs, _ = jax.jit(pipe.read)(st)
+    if disp_names:
+        outs = {**outs, **_run_display_meters(disp_names, x, lengths, fs)}
 
     if args.render_dir:
-        _render_views(args.render_dir, names, outs, args.files)
+        _render_views(args.render_dir, names, outs, args.files, fs)
 
     results = []
     for i, path in enumerate(args.files):

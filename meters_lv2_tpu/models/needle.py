@@ -156,11 +156,24 @@ class BBCMidSideMeter:
             side=bal.ppm_init(batch_shape, self.dtype),
         )
 
-    def update(self, state: BBCMSState, lr: jax.Array, s20: bool = False) -> BBCMSState:
-        """lr: [..., 2, T] stereo block."""
+    def update(self, state: BBCMSState, lr: jax.Array, s20=False) -> BBCMSState:
+        """lr: [..., 2, T] stereo block.
+
+        `s20` selects the side-channel gain (-6 dB off, +14 dB on) and may
+        be a traced bool (scalar or per-stream batch) — the reference reads
+        its port-7 value every run() (src/meters.cc:562-563,577-580), so
+        toggling mid-stream must not recompile, matching set_speed /
+        set_radar_speed elsewhere in this package.
+        """
         l, r = lr[..., 0, :], lr[..., 1, :]
         mv_m = jnp.float32(10.0 ** (0.05 * -6.0))
-        mv_s = jnp.float32(10.0 ** (0.05 * (14.0 if s20 else -6.0)))
+        mv_s = jnp.where(
+            jnp.asarray(s20),
+            jnp.float32(10.0 ** (0.05 * 14.0)),
+            jnp.float32(10.0 ** (0.05 * -6.0)),
+        )
+        if mv_s.ndim:  # per-stream s20: broadcast over the time axis
+            mv_s = mv_s[..., None]
         mid = bal.ppm_update(self.coeffs, state.mid, mv_m * jnp.abs(l + r))
         side = bal.ppm_update(self.coeffs, state.side, mv_s * jnp.abs(l - r))
         return BBCMSState(mid=mid, side=side)

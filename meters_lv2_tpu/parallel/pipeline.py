@@ -88,7 +88,14 @@ class MeterPipeline:
             elif mode == "mono":
                 new[name] = m.update(state[name], x[..., 0, :])
             elif mode == "stereo_mix":
-                new[name] = m.update(state[name], x, stereo=x.shape[-2] == 2)
+                C = x.shape[-2]
+                if C == 2:
+                    new[name] = m.update(state[name], x, stereo=True)
+                elif C == 1:
+                    new[name] = m.update(state[name], x[..., 0, :])
+                else:  # >2 channels: equal-weight downmix (generalizes the
+                    # reference's stereo (l+r)/2, spectrumlv2.c:195-201)
+                    new[name] = m.update(state[name], jnp.mean(x, axis=-2))
             else:
                 if hasattr(m, "update"):
                     new[name] = m.update(state[name], x)
@@ -141,18 +148,24 @@ class MeterPipeline:
         Each stream i is measured over exactly lengths[i] samples — padding
         past a file's end is never processed, so per-file readouts equal a
         serial per-file run (the reference's one-run()-stream-per-track
-        semantics, src/meters.cc:298-331).  Two phases:
+        semantics, src/meters.cc:298-331).  Exactly TWO compiled programs
+        regardless of how heterogeneous the lengths are:
 
           1. one lax.scan over `chunk`-sized steps; a stream's state is
              frozen once its remaining full chunks are consumed;
-          2. the sub-chunk tails, grouped by (4-aligned) tail length: one
-             batched update per distinct tail length, merged per-stream.
+          2. one traced tail program: the (4-aligned) sub-chunk tails are
+             consumed via their binary decomposition — one update per
+             power-of-4..chunk/2 size LEVEL, largest first, each stream
+             frozen through levels its tail lacks.  Per-stream placement
+             is a vmapped dynamic_slice at a traced cursor (the fastest
+             traced-offset lowering measured on TPU, see ops/segment.py).
 
         lengths must be multiples of 4 (the framework's 4-sample grain);
         x: [B, C, T] with T % chunk == 0 and T >= max(lengths).
-        Not jittable as a whole (phase 2 shapes depend on `lengths`), but
-        each phase is jit-compiled; distinct tail lengths each compile one
-        small update (cached across batches).
+        Runtime cost of phase 2 is ~2*chunk samples per stream (the sum of
+        all level sizes) independent of the actual tails; compile cost is
+        log2(chunk/4) update graphs in one program.  The compiled phases
+        are kept on ``self._ragged_fns`` for introspection.
         """
         lengths = np.asarray(lengths)
         B, C, T = x.shape
@@ -174,20 +187,36 @@ class MeterPipeline:
             )
             return st
 
+        n_levels = max(chunk // 4 - 1, 1).bit_length()
+
+        @jax.jit
+        def phase2(state, x, tails, starts):
+            q = tails // 4
+            pos = starts
+            for k in reversed(range(n_levels)):
+                s = 4 << k
+                take = ((q >> k) & 1) == 1
+                xt = jax.vmap(
+                    lambda xi, p, s=s: jax.lax.dynamic_slice(
+                        xi, (0, p), (C, s)
+                    )
+                )(x, pos)
+                state = self._freeze(state, self.update(state, xt), take)
+                pos = pos + jnp.where(take, s, 0)
+            return state
+
+        self._ragged_fns = (phase1, phase2)
         state = phase1(state, xs)
 
         tails = lengths % chunk
-        starts = (lengths // chunk) * chunk
-        xh = np.asarray(x)
-
-        @jax.jit
-        def tail_update(state, xt, in_group):
-            return self._freeze(state, self.update(state, xt), in_group)
-
-        for t in sorted(set(int(v) for v in tails if v > 0)):
-            group = tails == t
-            xt = np.zeros((B, C, t), np.float32)
-            for i in np.nonzero(group)[0]:
-                xt[i] = xh[i, :, starts[i] : starts[i] + t]
-            state = tail_update(state, jnp.asarray(xt), jnp.asarray(group))
+        if (tails > 0).any():
+            starts = (lengths // chunk) * chunk
+            # clamp so every level's slice stays in bounds even for the
+            # largest cursor (dynamic_slice would clamp silently; frozen
+            # streams never read meaningful data there anyway)
+            starts = np.minimum(starts, T - chunk)
+            state = phase2(
+                state, x,
+                jnp.asarray(tails, jnp.int32), jnp.asarray(starts, jnp.int32),
+            )
         return state

@@ -279,6 +279,136 @@ def spectrum_image(
     return img
 
 
+# 3x5 bitmap glyphs for numeric readouts (the reference panels draw text
+# via pango; batch views get a minimal pixel font for the same numbers)
+_GLYPHS = {
+    "0": ("111", "101", "101", "101", "111"),
+    "1": ("010", "110", "010", "010", "111"),
+    "2": ("111", "001", "111", "100", "111"),
+    "3": ("111", "001", "111", "001", "111"),
+    "4": ("101", "101", "111", "001", "001"),
+    "5": ("111", "100", "111", "001", "111"),
+    "6": ("111", "100", "111", "101", "111"),
+    "7": ("111", "001", "010", "010", "010"),
+    "8": ("111", "101", "111", "101", "111"),
+    "9": ("111", "101", "111", "001", "111"),
+    "-": ("000", "000", "111", "000", "000"),
+    ".": ("000", "000", "000", "000", "010"),
+    " ": ("000", "000", "000", "000", "000"),
+    "D": ("110", "101", "101", "101", "110"),
+    "R": ("110", "101", "110", "101", "101"),
+}
+
+
+def _blit_text(img, text, x, y, scale=2, color=(230, 230, 230)):
+    """Draw `text` with the 3x5 pixel font at (x, y), top-left anchored."""
+    h, w = img.shape[:2]
+    for ch in str(text):
+        rows = _GLYPHS.get(ch)
+        if rows is None:
+            x += 4 * scale
+            continue
+        for r, bits in enumerate(rows):
+            for c, b in enumerate(bits):
+                if b == "1":
+                    y0, x0 = y + r * scale, x + c * scale
+                    if 0 <= y0 < h and 0 <= x0 < w:
+                        img[y0 : min(y0 + scale, h),
+                            x0 : min(x0 + scale, w), :3] = color
+        x += 4 * scale
+    return x
+
+
+def cor_image(correlation: float, width: int = 120) -> np.ndarray:
+    """Render the phase-correlation needle view -> RGBA.
+
+    The COR plugin's inline display uses the needle renderer with the
+    linear [-1, +1] -> [0, 1] transfer curve (src/meters.cc COR wrapper +
+    src/dpy_needle.c; curve at gui/needle.c:267-269)."""
+    return needle_image(float(correlation), db.MT_COR, width)
+
+
+def dr14_image(
+    dr_total: float,
+    rms_db: np.ndarray,
+    peak_db: np.ndarray,
+    width: int = 160,
+    height: int = 90,
+) -> np.ndarray:
+    """Render the DR-14 panel -> [H, W, 4] RGBA.
+
+    Mirrors gui/dr14meter.c: the large DR number (DR1..DR20, blank until
+    enough 3 s windows accumulated = value 21) plus per-channel RMS and
+    true-peak bargraphs on the IEC-268-18 scale."""
+    img = np.zeros((height, width, 4), np.uint8)
+    img[..., :3] = 24
+    img[..., 3] = 255
+    dr = float(dr_total)
+    label = "DR--" if dr > 20.0 else f"DR{dr:.0f}" if dr >= 9.5 else f"DR {dr:.0f}"
+    _blit_text(img, label, 8, 8, scale=4, color=(240, 240, 170))
+
+    rms_db = np.atleast_1d(np.asarray(rms_db, np.float64))
+    peak_db = np.atleast_1d(np.asarray(peak_db, np.float64))
+    nch = len(rms_db)
+    x0 = width // 2 + 8
+    bw = max((width - x0 - 8) // max(2 * nch, 1) - 1, 2)
+    for c in range(nch):
+        for j, (v, col) in enumerate(
+            ((rms_db[c], (60, 200, 90)), (peak_db[c], (230, 180, 0)))
+        ):
+            frac = float(db.iec268_deflect(np.float32(v)))
+            bh = int(round(np.clip(frac, 0.0, 1.0) * (height - 10)))
+            xs = x0 + (2 * c + j) * (bw + 1)
+            if bh > 0:
+                img[height - 4 - bh : height - 4, xs : xs + bw, :3] = col
+    return img
+
+
+def surround_image(
+    rms_db: np.ndarray,
+    peak_db: np.ndarray,
+    correlation: np.ndarray | None = None,
+    width: int | None = None,
+    height: int = 120,
+) -> np.ndarray:
+    """Render the surround composite view -> [H, W, 4] RGBA.
+
+    Mirrors gui/surmeter.c's capability (N channel bargraphs + the 4
+    user-routable correlation needles) as a batch-friendly panel: one
+    IEC-scale bargraph per channel (RMS bar, peak tick) over a row of
+    correlation strips (marker position = (c+1)/2)."""
+    rms_db = np.atleast_1d(np.asarray(rms_db, np.float64))
+    peak_db = np.atleast_1d(np.asarray(peak_db, np.float64))
+    nch = len(rms_db)
+    width = width or max(18 * nch + 8, 80)
+    img = np.zeros((height, width, 4), np.uint8)
+    img[..., :3] = 24
+    img[..., 3] = 255
+    bar_h = height - 24
+    bw = (width - 8) // nch - 2
+    for c in range(nch):
+        x0 = 4 + c * (bw + 2)
+        frac = float(db.iec268_deflect(np.float32(rms_db[c])))
+        bh = int(round(np.clip(frac, 0.0, 1.0) * bar_h))
+        if bh > 0:
+            img[bar_h - bh : bar_h, x0 : x0 + bw, :3] = (60, 200, 90)
+        pf = float(db.iec268_deflect(np.float32(peak_db[c])))
+        py = bar_h - int(round(np.clip(pf, 0.0, 1.0) * bar_h))
+        if 0 <= py < bar_h:
+            img[py, x0 : x0 + bw, :3] = (230, 230, 230)
+    if correlation is not None:
+        corr = np.atleast_1d(np.asarray(correlation, np.float64))
+        npair = len(corr)
+        sw = (width - 8) // max(npair, 1)
+        for p in range(npair):
+            x0 = 4 + p * sw
+            y = height - 10
+            img[y, x0 : x0 + sw - 4, :3] = 70
+            mx = x0 + int(round(np.clip(0.5 + 0.5 * corr[p], 0, 1) * (sw - 5)))
+            img[y - 2 : y + 3, mx : mx + 2, :3] = (230, 100, 40)
+    return img
+
+
 def goniometer_image(
     x: np.ndarray,
     y: np.ndarray,

@@ -116,6 +116,35 @@ def test_msppm_parity():
                              msg=f"msppm/{fx['signal']} side blk {rec['block']}")
 
 
+def test_msppm_s20_toggle_parity():
+    """Mid-stream S20 side-gain toggle (-6 -> +14 dB) matches the golden
+    run that calls Msppmdsp::set_gain at the halfway block — and the
+    toggle is a TRACED argument: one compiled program serves both modes
+    (the BBCM6 wrapper reads port 7 every run(), src/meters.cc:577-580)."""
+    fxs = _fixtures("msppm_s20")
+    assert fxs, "msppm_s20 fixture missing"
+    for fx in fxs:
+        m = needle.BBCMidSideMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        nblocks = x.shape[1] // fx["block"]
+        reads = iter(fx["reads"])
+        for b in range(nblocks):
+            s20 = jnp.asarray(b >= nblocks // 2)  # traced, not static
+            st = upd(st, jnp.asarray(
+                x[:, b * fx["block"] : (b + 1) * fx["block"]]), s20)
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st, ref_level_db=-18.0)
+                rec = next(reads)
+                assert_level(vals["mid"], rec["values"][0],
+                             msg=f"s20/{fx['signal']} mid blk {rec['block']}")
+                assert_level(vals["side"], rec["values"][1],
+                             msg=f"s20/{fx['signal']} side blk {rec['block']}")
+        # traced toggle => exactly one executable for update
+        assert upd._cache_size() == 1
+
+
 def test_kmeter_parity():
     for fx in _fixtures("kmeter"):
         m = kmeter.KMeter(fx["fs"])

@@ -43,6 +43,8 @@ CASES = [
     ("iec1", 2, ALL_SIGNALS, 6.0),
     ("iec2", 2, ALL_SIGNALS, 6.0),
     ("msppm", 2, ["mix", "noise", "sine997"], 6.0),
+    # side gain toggled -6 -> +14 dB mid-stream (the BBCM6 S20 port)
+    ("msppm_s20", 2, ["mix"], 6.0),
     ("kmeter", 2, ALL_SIGNALS, 6.0),
     ("truepeak", 2, ALL_SIGNALS, 6.0),
     ("stcorr", 2, ["mix", "noise", "sine997", "clipped"], 6.0),

@@ -216,10 +216,14 @@ int main(int argc, char** argv) {
         std::printf("]}\n");
       }
     }
-  } else if (meter == "msppm") {
+  } else if (meter == "msppm" || meter == "msppm_s20") {
+    // msppm_s20: the side gain toggles -6 -> +14 dB at the halfway block,
+    // as the BBCM6 wrapper does from its port-7 "S20" control per run()
+    // (src/meters.cc:562-563,577-580 via Msppmdsp::set_gain)
     Msppmdsp mM(-6), mS(-6);
     mM.init(fs);
     for (long b = 0; b < nblocks; ++b) {
+      if (meter == "msppm_s20" && b == nblocks / 2) mS.set_gain(14.0f);
       mM.processM(&ch[0][b * block], &ch[1][b * block], block);
       mS.processS(&ch[0][b * block], &ch[1][b * block], block);
       if ((b + 1) % read_every == 0)
