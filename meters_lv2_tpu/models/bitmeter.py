@@ -25,11 +25,12 @@ primary-path meter.)
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 
-from ..ops import swar
+from ..ops import pallas_bitmeter, swar
 from .base import register
 
 NPOS = 280  # hit/one position range (matches reference region width)
@@ -83,9 +84,67 @@ class BitMeter:
             integrating=jnp.ones(batch_shape, bool),
         )
 
+    @property
+    def _fused_mode(self) -> str:
+        return os.environ.get("METERS_TPU_BITMETER_FUSED", "auto")
+
+    def _use_fused(self, T: int) -> bool:
+        """Fused Pallas stats kernel (ops/pallas_bitmeter): auto on TPU
+        for blocks >= 2048 samples; the kernel covers the 2048-aligned
+        bulk, any remainder chains through the XLA path."""
+        mode = self._fused_mode
+        if mode == "0" or T < pallas_bitmeter._TT:
+            return False
+        if mode in ("1", "interpret"):
+            return True
+        return pallas_bitmeter.available()
+
     def update(self, state: BitMeterState, x: jax.Array) -> BitMeterState:
         *batch, T = x.shape
+        # one gate for the whole call (reference: per-process() acquisition
+        # stop at INT_MAX) — both the kernel bulk and any XLA tail use it
         run = state.integrating & (state.time < _CAP - T)
+        if self._use_fused(T):
+            tt = pallas_bitmeter._TT
+            Tm = (T // tt) * tt
+            d = pallas_bitmeter.fused_stats(
+                x[..., :Tm].reshape(-1, Tm),
+                interpret=self._fused_mode == "interpret",
+            )
+            d = {
+                k: v.reshape(*batch, *v.shape[1:]) for k, v in d.items()
+            }
+            runx = run[..., None]
+            gi = lambda old, delta: old + jnp.where(
+                runx if delta.ndim > run.ndim else run, delta, 0
+            )
+            state = BitMeterState(
+                hit=gi(state.hit, d["hit"]),
+                one=gi(state.one, d["one"]),
+                dset=gi(state.dset, d["dset"]),
+                nan=gi(state.nan, d["nan"]),
+                inf=gi(state.inf, d["inf"]),
+                den=gi(state.den, d["den"]),
+                zero=gi(state.zero, d["zero"]),
+                pos=gi(state.pos, d["pos"]),
+                vmin=jnp.where(
+                    run, jnp.minimum(state.vmin, d["vmin"]), state.vmin
+                ),
+                vmax=jnp.where(
+                    run, jnp.maximum(state.vmax, d["vmax"]), state.vmax
+                ),
+                time=state.time + jnp.where(run, Tm, 0),
+                integrating=state.integrating,
+            )
+            if Tm < T:
+                state = self._accumulate(state, x[..., Tm:], run, T - Tm)
+            return state
+        return self._accumulate(state, x, run, T)
+
+    def _accumulate(
+        self, state: BitMeterState, x: jax.Array, run: jax.Array, T: int
+    ) -> BitMeterState:
+        """XLA path: SWAR bit-sliced counting (see module docstring)."""
         runx = run[..., None]
 
         bits = jax.lax.bitcast_convert_type(x, jnp.uint32)

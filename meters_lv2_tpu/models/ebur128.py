@@ -120,7 +120,7 @@ class EbuR128Meter:
     def __init__(
         self, fs: float, nchan: int = 2, radar_seconds: float = 120.0,
         runtime_radar_speed: bool = False, track_cadence: bool = False,
-        dtype=jnp.float32,
+        reference_radar: bool = False, dtype=jnp.float32,
     ):
         assert 1 <= nchan <= 5
         self.fs = float(fs)
@@ -132,6 +132,13 @@ class EbuR128Meter:
         # (set_radar_speed mid-stream, CTL_RADARTIME); False compiles it as
         # a constant so XLA strength-reduces the interval division
         self.runtime_radar_speed = bool(runtime_radar_speed)
+        # reference_radar=True reproduces src/ebulv2.cc:390-421 VERBATIM so
+        # rings can be golden-diffed: loudness sampled once per update()
+        # call (block rate, not fragment rate), at most one ring point per
+        # call, and the reference's radarSC carry gated on lm instead of ls
+        # (the apparent quirk at :392).  Default False keeps the improved
+        # fragment-rate semantics (docs/PARITY.md "deliberate deviations").
+        self.reference_radar = bool(reference_radar)
         # track_cadence=True carries an extra M-histogram snapshot so
         # read(cadence_500ms=True) matches the reference's 500 ms cached
         # I/LRA between recompute points (one extra one-hot reduce/update)
@@ -363,7 +370,40 @@ class EbuR128Meter:
             hist_m_snap = state.hist_m_snap
             count_m_snap = state.count_m_snap
 
-        # 6) radar history: per-interval max of fragment-rate loudness
+        # 6) radar history
+        if self.reference_radar:
+            # quirk-compat mode: src/ebulv2.cc:390-421 verbatim at the
+            # update()-call rate — carries updated from this call's final
+            # lm/ls (incl. the radarSC lm-gate quirk at :392), then at most
+            # ONE ring point stored per call when the interval elapses
+            spd_flat = (
+                state.radar_spd if self.runtime_radar_speed else self.radar_spd
+            )
+            rcm = jnp.maximum(state.radar_cur_m, loud_m)
+            rcs = jnp.where(loud_m > state.radar_cur_s, loud_s,
+                            state.radar_cur_s)
+            spd_cur = state.radar_spd_cur + T
+            fire = spd_cur > spd_flat
+            oh = (
+                jnp.arange(RADAR_POINTS, dtype=jnp.int32)
+                == state.radar_pos[..., None]
+            ) & fire[..., None]
+            radar_m = jnp.where(oh, rcm[..., None], state.radar_m)
+            radar_s = jnp.where(oh, rcs[..., None], state.radar_s)
+            radar_pos = jnp.where(
+                fire, (state.radar_pos + 1) % RADAR_POINTS, state.radar_pos
+            )
+            rspd = jnp.where(fire, spd_cur % spd_flat, spd_cur)
+            rcm = jnp.where(fire, -jnp.inf, rcm)
+            rcs = jnp.where(fire, -jnp.inf, rcs)
+            return self._pack_state(
+                state, z, tp_hist, seg, ncomp, off, T, fragm, roll,
+                loud_m, loud_s, max_m, max_s, hist_m, hist_s, dcm, dcs,
+                dbtp, radar_m, radar_s, radar_pos, rcm, rcs, rspd,
+                hist_m_snap, count_m_snap,
+            )
+
+        # default mode: per-interval max of fragment-rate loudness
         # (src/ebulv2.cc:390-421; the reference samples at block rate, we
         # sample at the finer fragment rate).  Fully vectorized: the wrapped
         # interval counter is recovered from the cumulative sample count —
@@ -417,13 +457,26 @@ class EbuR128Meter:
             ncomp > 0, off_new, T
         )
 
+        return self._pack_state(
+            state, z, tp_hist, seg, ncomp, off, T, fragm, roll,
+            loud_m, loud_s, max_m, max_s, hist_m, hist_s, dcm, dcs,
+            dbtp, radar_m, radar_s, radar_pos, rcm, rcs, rspd,
+            hist_m_snap, count_m_snap,
+        )
+
+    def _pack_state(
+        self, state, z, tp_hist, seg, ncomp, off, T, fragm, roll,
+        loud_m, loud_s, max_m, max_s, hist_m, hist_s, dcm, dcs,
+        dbtp, radar_m, radar_s, radar_pos, rcm, rcs, rspd,
+        hist_m_snap, count_m_snap,
+    ) -> EbuR128State:
         n_int = jnp.where(state.integrating, ncomp, 0)
         n_lo = state.n_lo + jnp.where(state.integrating, T, 0)
         return EbuR128State(
             z=z,
             tp_hist=tp_hist,
             frpwr=jnp.take_along_axis(seg, ncomp[..., None], -1)[..., 0],
-            off=off_new,
+            off=(off + T) % fragm,
             fhist=roll,
             loud_m=loud_m,
             loud_s=loud_s,

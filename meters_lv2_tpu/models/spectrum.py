@@ -17,11 +17,12 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
-from ..ops import design, lti
+from ..ops import design, lti, pallas_spectrum
 from .base import register
 
 N_BANDS = 30
@@ -83,18 +84,52 @@ class SpectrumAnalyzer:
             omega=jnp.asarray(self.omega, self.dtype),
         )
 
+    @property
+    def _fused_mode(self) -> str:
+        return os.environ.get("METERS_TPU_SPECTRUM_FUSED", "auto")
+
+    def _use_fused(self, T: int) -> bool:
+        """Fused Pallas core (ops/pallas_spectrum): auto on TPU for blocks
+        of >= 128 samples; the kernel covers the 128-aligned bulk and any
+        remainder chains through the XLA path, as EbuR128Meter does."""
+        mode = self._fused_mode
+        if mode == "0" or T < 128 or self.dtype != jnp.float32:
+            return False
+        if mode in ("1", "interpret"):
+            return True
+        return pallas_spectrum.available()
+
+    def _xla_core(self, x, zf, val0, omega):
+        """Unfused path: returns (val, block_peak, zf) for input x."""
+        v, zf = self.bank.apply(x, zf)  # [..., 30, T]
+        sq = jnp.square(v)
+        vs, val = lti.one_pole_apply_traced(omega, sq, val0[..., None])
+        return val[..., 0], jnp.max(vs, axis=-1), zf
+
     def update(self, state: SpectrumState, x: jax.Array, stereo: bool = False) -> SpectrumState:
         if stereo:
             x = 0.5 * (x[..., 0, :] + x[..., 1, :])
-        v, zf = self.bank.apply(x, state.zf)  # [..., 30, T]
-        sq = jnp.square(v)
-        # display smoother with the state-resident (runtime-mutable) omega
-        vs, val = lti.one_pole_apply_traced(
-            state.omega, sq, state.val[..., None]
-        )
-        val = val[..., 0]
+        *batch, T = x.shape
+        if self._use_fused(T):
+            Tm = (T // 128) * 128
+            val, bp, zf = pallas_spectrum.fused_core(
+                x[..., :Tm].reshape(-1, Tm),
+                state.zf.reshape(-1, N_BANDS, self.bank.d),
+                state.val.reshape(-1, N_BANDS),
+                state.omega,
+                self.bank.op(128),
+                interpret=self._fused_mode == "interpret",
+            )
+            val = val.reshape(*batch, N_BANDS)
+            bp = bp.reshape(*batch, N_BANDS)
+            zf = zf.reshape(*batch, N_BANDS, self.bank.d)
+            if Tm < T:  # non-128-aligned tail: XLA path, chained state
+                val, bp2, zf = self._xla_core(x[..., Tm:], zf, val, state.omega)
+                bp = jnp.maximum(bp, bp2)
+        else:
+            val, bp, zf = self._xla_core(x, state.zf, state.val, state.omega)
         # peak-hold tracks the smoothed value maximum (spectrumlv2.c:224)
-        peak = jnp.maximum(state.peak, jnp.max(vs, axis=-1))
+        peak = jnp.maximum(state.peak, bp)
         # non-finite flush + denormal guard (spectrumlv2.c:231-236)
         zf = jnp.where(jnp.isfinite(zf), zf, 0.0)
         val = jnp.where(jnp.isfinite(val), val, 0.0) + 1e-20

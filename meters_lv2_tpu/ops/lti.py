@@ -44,6 +44,15 @@ _HIGH = (
     else jax.lax.Precision.HIGH
 )
 
+# STATE-CHAIN precision is always HIGHEST: errors in the state propagation
+# (s @ A^T and the associative-scan composition) COMPOUND across blocks,
+# amplified by resonant poles — measured 0.25 dB on the 25 Hz 1/3-octave
+# band (pole radius 1-1e-5) at HIGH vs 0.0006 dB at HIGHEST, while the
+# feed-forward conv/injection GEMMs are insensitive (docs/BENCHMARKS.md
+# round 4 precision table).  These matmuls are d x d (d <= 12) — the cost
+# is negligible next to the block-Toeplitz conv.
+_STATE = jax.lax.Precision.HIGHEST
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -149,10 +158,10 @@ def _mm_blocks(a: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def _mm_state(a: jax.Array, w: jax.Array) -> jax.Array:
-    """State a [..., (NB,) i] @ w [(NB,) i, j]."""
+    """State a [..., (NB,) i] @ w [(NB,) i, j] — always HIGHEST (compounds)."""
     if w.ndim == 2:
-        return jnp.matmul(a, w, precision=_HIGH)
-    return jnp.einsum("...bi,bij->...bj", a, w, precision=_HIGH)
+        return jnp.matmul(a, w, precision=_STATE)
+    return jnp.einsum("...bi,bij->...bj", a, w, precision=_STATE)
 
 
 def lti_scan(op: LTIBlockOp, u: jax.Array, s0: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -209,15 +218,15 @@ def lti_scan(op: LTIBlockOp, u: jax.Array, s0: jax.Array) -> tuple[jax.Array, ja
         def compose(l, r):
             Al, bl = l
             Ar, br = r
-            A2 = jnp.matmul(Al, Ar, precision=_HIGH)
-            b2 = jnp.einsum("k...i,kij->k...j", bl, Ar, precision=_HIGH) + br
+            A2 = jnp.matmul(Al, Ar, precision=_STATE)
+            b2 = jnp.einsum("k...i,kij->k...j", bl, Ar, precision=_STATE) + br
             return A2, b2
 
         A_pre, b_pre = jax.lax.associative_scan(compose, (A_el, b_el))
         # entry state of block i: s0 @ A_pre[i-1] + b_pre[i-1]; block 0 = s0
         s0f = s0.reshape(-1, d)
         s_entry = (
-            jnp.einsum("bi,kij->kbj", s0f, A_pre, precision=_HIGH) + b_pre
+            jnp.einsum("bi,kij->kbj", s0f, A_pre, precision=_STATE) + b_pre
         )  # [nblk, B*, d] = states entering blocks 1..nblk (index i -> block i+1)
         s_all = jnp.concatenate([s0f[None], s_entry[:-1]], axis=0)
         s_fin = s_entry[-1].reshape(s0.shape)

@@ -563,6 +563,36 @@ def test_bitmeter_parity():
         np.testing.assert_allclose(float(out["min"]), final["min"], rtol=1e-6)
 
 
+def test_ebur128_reference_radar_parity():
+    """reference_radar=True reproduces the wrapper's radar ring VERBATIM
+    (block-rate sampling, one point per run(), radarSC lm-gate quirk —
+    src/ebulv2.cc:390-421) so rings golden-diff against the reference;
+    the default fragment-rate semantics stay documented as a deliberate
+    deviation (docs/PARITY.md)."""
+    for fx in _fixtures("ebur128"):
+        if fx["nchan"] != 2:
+            continue
+        m = ebur128.EbuR128Meter(fx["fs"], nchan=2, reference_radar=True)
+        x = _stream(fx)
+        st = m.init(())
+        upd = jax.jit(m.update)
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+        final = [r for r in fx["reads"] if r.get("final")][0]
+        assert int(st.radar_pos) == final["radarPos"], fx["signal"]
+        got_m = np.asarray(st.radar_m)
+        got_s = np.asarray(st.radar_s)
+        want_m = np.asarray(final["radarM"])  # -999 encodes -inf
+        want_s = np.asarray(final["radarS"])
+        for got, want, tag in ((got_m, want_m, "M"), (got_s, want_s, "S")):
+            unset = want <= -998.0
+            assert np.all(np.isneginf(got[unset])), (fx["signal"], tag)
+            np.testing.assert_allclose(
+                got[~unset], want[~unset], atol=5e-4,
+                err_msg=f"{fx['signal']} radar{tag}",
+            )
+
+
 def test_ebur128_cadence_500ms_parity():
     """With cadence_500ms reads, I and LRA match the reference's CACHED
     values even at unaligned block sizes (the reference recomputes them

@@ -271,10 +271,32 @@ int main(int argc, char** argv) {
     Ebu_r128_proc m;
     m.init(nchan, fs);
     m.integr_start();
+    // radar-history wrapper state, transcribed from src/ebulv2.cc:160-176
+    // (init), :75-78 (speed) and :390-421 (per-run() update) — incl. the
+    // radarSC carry being gated on lm (not ls), an apparent quirk kept
+    // verbatim so EbuR128Meter(reference_radar=True) can golden-diff rings
+    const int RP = 360;
+    std::vector<float> radarM(RP, -INFINITY), radarS(RP, -INFINITY);
+    float radarMC = -INFINITY, radarSC = -INFINITY;
+    long radar_spd_cur = 0, radar_pos_cur = 0;
+    long radar_spd_max = (long)rint(120.0 * fs / RP);
+    if (radar_spd_max < 4096) radar_spd_max = 4096;
     std::vector<float*> ptrs(nchan);
     for (long b = 0; b < nblocks; ++b) {
       for (int c = 0; c < nchan; ++c) ptrs[c] = &ch[c][b * block];
       m.process(block, ptrs.data());
+      const float lm = m.loudness_M();
+      const float ls = m.loudness_S();
+      if (lm > radarMC) radarMC = lm;
+      if (lm > radarSC) radarSC = ls;  // quirk: gate on lm (ebulv2.cc:392)
+      radar_spd_cur += block;
+      if (radar_spd_cur > radar_spd_max) {
+        radarM[radar_pos_cur] = radarMC;
+        radarS[radar_pos_cur] = radarSC;
+        radar_spd_cur = radar_spd_cur % radar_spd_max;
+        radar_pos_cur = (radar_pos_cur + 1) % RP;
+        radarSC = radarMC = -INFINITY;
+      }
       if ((b + 1) % read_every == 0) {
         std::printf(
             "{\"block\": %ld, \"M\": %.9g, \"S\": %.9g, \"maxM\": %.9g, "
@@ -294,6 +316,14 @@ int main(int argc, char** argv) {
     for (int i = 0; i < 751; ++i) std::printf("%s%d", i ? "," : "", m.histogram_M()[i]);
     std::printf("], \"histS\": [");
     for (int i = 0; i < 751; ++i) std::printf("%s%d", i ? "," : "", m.histogram_S()[i]);
+    std::printf("], \"radarPos\": %ld, \"radarM\": [", radar_pos_cur);
+    for (int i = 0; i < RP; ++i)
+      std::printf("%s%.9g", i ? "," : "",
+                  std::isfinite(radarM[i]) ? radarM[i] : -999.0);
+    std::printf("], \"radarS\": [");
+    for (int i = 0; i < RP; ++i)
+      std::printf("%s%.9g", i ? "," : "",
+                  std::isfinite(radarS[i]) ? radarS[i] : -999.0);
     std::printf("]}\n");
   } else if (meter == "spectrum") {
     // 30-band 1/3-octave bank + display smoothing, as spectrumlv2.c:100-248
