@@ -42,23 +42,29 @@ def main():
     scan_n = int(os.environ.get("BENCH_SCAN", "1"))
     assert n_chunks % scan_n == 0
 
+    # flat channel-major input layout: the producer lays audio out as
+    # [B, C*T] so the fused kernel reads it without the [B,C,T]->[B,C*T]
+    # physical retile (BENCH_FLAT=0 restores the 3D layout for A/B runs)
+    flat = os.environ.get("BENCH_FLAT", "1") != "0"
+    xshape = (B, 2 * Tc) if flat else (B, 2, Tc)
+
     if scan_n > 1:
         # amortize per-dispatch latency: one program advances scan_n chunks
         @jax.jit
         def update(st, xs):
             def step(s, xc):
-                return meter.update(s, xc), ()
+                return meter.update(s, xc, flat=flat), ()
 
             st, _ = jax.lax.scan(step, st, xs)
             return st
 
         key = jax.random.PRNGKey(0)
-        x = 0.1 * jax.random.normal(key, (scan_n, B, 2, Tc), jnp.float32)
+        x = 0.1 * jax.random.normal(key, (scan_n, *xshape), jnp.float32)
         n_dispatch = n_chunks // scan_n
     else:
-        update = jax.jit(meter.update)
+        update = jax.jit(lambda st, xc: meter.update(st, xc, flat=flat))
         key = jax.random.PRNGKey(0)
-        x = 0.1 * jax.random.normal(key, (B, 2, Tc), jnp.float32)
+        x = 0.1 * jax.random.normal(key, xshape, jnp.float32)
         n_dispatch = n_chunks
 
     # warmup / compile

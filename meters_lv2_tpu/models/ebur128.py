@@ -231,10 +231,29 @@ class EbuR128Meter:
             return True
         return pallas_r128.available()
 
-    def update(self, state: EbuR128State, x: jax.Array) -> EbuR128State:
-        """x: [..., C, T], any T >= 1."""
-        *batch, C, T = x.shape
-        assert C == self.nchan
+    def update(
+        self, state: EbuR128State, x: jax.Array, flat: bool = False
+    ) -> EbuR128State:
+        """x: [..., C, T], any T >= 1.
+
+        With flat=True, x is [..., C*T] in channel-major layout (i.e. the
+        bits of reshape(..., C*T)): producers that can lay audio out flat
+        (bench.py, device-resident pipelines) skip the [B,C,T]->[B,C*T]
+        physical retile the fused kernel input otherwise costs (~132 us
+        at B=256 x 1 s — docs/BENCHMARKS.md round 3).  Requires a
+        128-aligned T to stay flat; other shapes fall back internally.
+        """
+        if flat:
+            *batch, CT = x.shape
+            C = self.nchan
+            assert CT % C == 0, (CT, C)
+            T = CT // C
+            if not (self._use_fused(T) and T % 128 == 0):
+                x = x.reshape(*batch, C, T)
+                flat = False
+        else:
+            *batch, C, T = x.shape
+            assert C == self.nchan
         fragm = self.fragm
 
         # 1+2) K-weighting power and 4x-oversampled true peak.  On TPU the
@@ -256,7 +275,8 @@ class EbuR128Meter:
         if self._use_fused(T):
             Tm = (T // 128) * 128
             pr, zr, hr, tpm = pallas_r128.fused_core(
-                x[..., :Tm].reshape(-1, C, Tm),
+                x.reshape(-1, C * T) if flat
+                else x[..., :Tm].reshape(-1, C, Tm),
                 state.z.reshape(-1, C, 4),
                 state.tp_hist.reshape(-1, C, 47),
                 tuple(np.asarray(self.gains, np.float32)),

@@ -222,7 +222,12 @@ def fused_core(
     """Fused K-weighting combined power + true-peak max over one block.
 
     Args:
-      x:     [B, C, T] input streams, T % 128 == 0.
+      x:     [B, C, T] input streams, T % 128 == 0 — or pre-flattened
+             [B, C*T] (channel-major lanes, i.e. reshape(B, C*T) of the
+             3D layout).  Passing the flat layout skips the [B,C,T] ->
+             [B,C*T] physical retile (the C=2 sublane dim pads on TPU;
+             measured 132 us at B=256 x 1 s, docs/BENCHMARKS.md round 3)
+             when the producer can lay audio out channel-major directly.
       z0:    [B, C, 4] K-weighting filter state.
       hist:  [B, C, 47] true-peak resampler history.
       gains: per-channel power gains (R128_CHAN_GAIN / mono 2.0), static.
@@ -234,15 +239,19 @@ def fused_core(
       K-weighted power, updated states, and the block's max absolute
       oversampled sample over all channels.
     """
-    B, C, T = x.shape
+    if x.ndim == 2:
+        B = x.shape[0]
+        C = z0.shape[1]
+        T = x.shape[1] // C
+        x2 = x
+    else:
+        B, C, T = x.shape
+        # channels ride in the lane dim: one row per stream; the reshape
+        # is a physical retile on TPU (see the flat-layout note above)
+        x2 = x.reshape(B, C * T)
     assert T % _BLK == 0, (T, _BLK)
     assert C == len(gains)
     assert op.block == _BLK and op.d == 4 and op.m == 1 and op.p == 1
-
-    # channels ride in the lane dim: one row per stream (a free reshape);
-    # the tiny states go channel-major so each channel program gets a
-    # leading-index block
-    x2 = x.reshape(B, C * T)
     z2 = jnp.swapaxes(z0, 0, 1)  # [C, B, 4]
     h2 = jnp.swapaxes(hist, 0, 1)  # [C, B, 47]
 

@@ -6,6 +6,7 @@ comparison is part of tools/tpu_parity_check.py.
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -95,6 +96,31 @@ def test_fused_update_matches_unfused(_fused_interpret):
               "lra"):
         np.testing.assert_allclose(o[k], o_ref[k], atol=2e-3, err_msg=k)
     np.testing.assert_allclose(o["dbtp"], o_ref["dbtp"], rtol=1e-4)
+
+
+def test_fused_update_flat_layout_bitexact(_fused_interpret):
+    """flat=True ([..., C*T] channel-major — the retile-free ingest
+    layout) produces bit-identical state to the 3D layout."""
+    fs = 48000
+    rng = np.random.default_rng(9)
+    x3 = jnp.asarray(
+        0.2 * rng.standard_normal((3, 2, 128 * 40)), jnp.float32
+    )
+    xf = x3.reshape(3, -1)
+    m = EbuR128Meter(fs, nchan=2)
+    st = m.init((3,))
+    s3 = jax.jit(m.update)(st, x3)
+    sf = jax.jit(lambda s, v: m.update(s, v, flat=True))(st, xf)
+    for a, b in zip(jax.tree_util.tree_leaves(s3), jax.tree_util.tree_leaves(sf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-128-aligned T falls back to the 3D path, still exact
+    x3b = x3[..., : 128 * 40 - 36]
+    s3b = jax.jit(m.update)(st, x3b)
+    sfb = jax.jit(lambda s, v: m.update(s, v, flat=True))(
+        st, x3b.reshape(3, -1)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s3b), jax.tree_util.tree_leaves(sfb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fused_update_scalar_batch(_fused_interpret):
