@@ -32,22 +32,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_M1 = np.uint32(0x55555555)
-_M2 = np.uint32(0x33333333)
-_M4 = np.uint32(0x0F0F0F0F)
+# masks as int32: Mosaic has no uint32 reductions, and int32 two's-
+# complement adds/shifts are bit-identical here — every right-shift is
+# masked below the sign-extension bits (the mask top bits are 0)
+_M1 = np.int32(0x55555555)
+_M2 = np.int32(0x33333333)
+_M4 = np.int32(0x0F0F0F0F)
 
-_TT = 2048  # time-tile (sublanes); % 128 == 0 for the 2*4*16 group chain
+# time-tile (sublanes); % 128 == 0 for the 2*4*16 group chain.  1024
+# keeps the 18 unrolled SWAR trees' stage temporaries inside the 16 MB
+# scoped-VMEM stack (2048 measured 20.6 MB)
+_TT = 1024
 NPOS = 280
 _NW = 9  # word slots for the shifted 24-bit field
 
 
 def _tree_rows(w):
-    """SWAR positional count of one word-slot array w [S, B] uint32 ->
+    """SWAR positional count of one word-slot array w [S, B] int32 ->
     list of 32 rows [1, B] int32 in bit-position order."""
     S = w.shape[0]
 
     def gs(v, g):
-        return v.reshape(v.shape[0] // g, g, v.shape[1]).sum(1)
+        # explicit slice adds, not jnp.sum: elementwise int32 adds lower
+        # on the VPU (integer reductions over the sublane axis don't)
+        v = v.reshape(v.shape[0] // g, g, v.shape[1])
+        out = v[:, 0, :]
+        for i in range(1, g):
+            out = out + v[:, i, :]
+        return out
 
     # stage 1: even/odd bits -> 2-bit slots; sum pairs (<= 2)
     s1 = [gs(w & _M1, 2), gs((w >> 1) & _M1, 2)]
@@ -86,10 +98,10 @@ def _make_kernel(nblk: int):
 
         for j in range(nblk):
             xb = x_ref[_TT * j : _TT * (j + 1), :]  # [S, B] f32
-            bits = jax.lax.bitcast_convert_type(xb, jnp.uint32)
-            exp = ((bits >> 23) & 0xFF).astype(jnp.int32)
-            man = (bits & 0x7FFFFF).astype(jnp.uint32)
-            neg = (bits >> 31) == 1
+            bits = jax.lax.bitcast_convert_type(xb, jnp.int32)
+            exp = (bits >> 23) & 0xFF  # arithmetic-shift fill masked off
+            man = bits & 0x7FFFFF
+            neg = bits < 0
 
             is_inf = (exp == 255) & (man == 0)
             is_nan = (exp == 255) & (man != 0)
@@ -121,29 +133,31 @@ def _make_kernel(nblk: int):
             e_eff = jnp.where(exp > 0, exp, 1)
             one24 = jnp.where(
                 is_num, jnp.where(is_norm, man | (1 << 23), man), 0
-            ).astype(jnp.uint32)
+            )
             hit24 = jnp.where(
                 is_num,
-                jnp.where(is_norm, jnp.uint32(0xFFFFFF), jnp.uint32(0x7FFFFF)),
+                jnp.where(is_norm, jnp.int32(0xFFFFFF), jnp.int32(0x7FFFFF)),
                 0,
             )
-            s = (e_eff & 31).astype(jnp.uint32)
+            s = e_eff & 31
             widx = e_eff >> 5
 
             for v24, out in ((one24, one_ref), (hit24, hit_ref)):
                 lo = v24 << s
-                hi = jnp.where(s == 0, jnp.uint32(0), v24 >> (32 - s))
+                # v24 is positive, so >> is a logical shift here; s == 0
+                # (shift by 32) is masked out
+                hi = jnp.where(s == 0, 0, v24 >> (32 - s))
                 for w in range(_NW):
                     wv = (
-                        jnp.where(widx == w, lo, jnp.uint32(0))
-                        | jnp.where(widx == w - 1, hi, jnp.uint32(0))
+                        jnp.where(widx == w, lo, 0)
+                        | jnp.where(widx == w - 1, hi, 0)
                     )
                     rows = _tree_rows(wv)
                     out[32 * w : 32 * (w + 1), :] += jnp.concatenate(
                         rows, axis=0
                     )
 
-            drows = _tree_rows(jnp.where(is_num, man, jnp.uint32(0)))
+            drows = _tree_rows(jnp.where(is_num, man, 0))
             dset_ref[...] += jnp.concatenate(drows, axis=0)
 
     return kernel
@@ -177,7 +191,7 @@ def fused_stats(x: jax.Array, *, interpret: bool = False,
         b_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
     nbt = T // _TT
     if k is None:
-        k = _pick_tile(nbt, range(8, 0, -1))
+        k = 1  # >1 unrolls the python block loop into the VMEM stack
     t_tile = k * _TT
     nt = T // t_tile
     grid = (Bp // b_tile, nt)

@@ -32,6 +32,7 @@ def main(B: int = 1024, seconds: float = 1.0):
     from meters_lv2_tpu.models.sigdist import SigDistMeter
     from meters_lv2_tpu.models.bitmeter import BitMeter
     from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+    from meters_lv2_tpu.models.surround import Surround5Meter
 
     fs = 48000
     T = int(fs * seconds)
@@ -49,6 +50,7 @@ def main(B: int = 1024, seconds: float = 1.0):
         ("SigDist", SigDistMeter(fs), (B,), None),
         ("BitMeter", BitMeter(fs), (B,), None),
         ("Spectrum 30-band", SpectrumAnalyzer(fs), (B // 16,), None),
+        ("Surround 5.0", Surround5Meter(fs), (B // 5,), 5),
     ]
     print(f"device: {jax.devices()[0]}  B={B}  chunk={seconds}s")
     rows = {}
