@@ -96,8 +96,11 @@ def _make_kernel(nblk: int):
             vmin_ref[...] = jnp.full_like(vmin_ref, jnp.inf)
             vmax_ref[...] = jnp.zeros_like(vmax_ref)
 
-        for j in range(nblk):
-            xb = x_ref[_TT * j : _TT * (j + 1), :]  # [S, B] f32
+        # fori over blocks (NOT a python unroll — the 18 SWAR trees'
+        # temporaries would stack per unrolled iteration); all counters
+        # accumulate through the out refs, so the carry is empty
+        def block_step(j, _):
+            xb = x_ref[pl.ds(j * _TT, _TT), :]  # [S, B] f32
             bits = jax.lax.bitcast_convert_type(xb, jnp.int32)
             exp = (bits >> 23) & 0xFF  # arithmetic-shift fill masked off
             man = bits & 0x7FFFFF
@@ -159,6 +162,9 @@ def _make_kernel(nblk: int):
 
             drows = _tree_rows(jnp.where(is_num, man, 0))
             dset_ref[...] += jnp.concatenate(drows, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, block_step, 0)
 
     return kernel
 
@@ -191,7 +197,7 @@ def fused_stats(x: jax.Array, *, interpret: bool = False,
         b_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
     nbt = T // _TT
     if k is None:
-        k = 1  # >1 unrolls the python block loop into the VMEM stack
+        k = _pick_tile(nbt, range(8, 0, -1))  # fori body: stack is O(1)
     t_tile = k * _TT
     nt = T // t_tile
     grid = (Bp // b_tile, nt)
