@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.lti import LTISystem
+from ..ops.lti import BankedLTISystem, LTISystem
 
 
 def lti_apply_sp(
@@ -85,3 +85,45 @@ def lti_entry_state_sp(
     # join shard_map varying-axes metadata with the gathered responses
     s0 = s0 + jnp.zeros_like(b_all[0])
     return jax.lax.fori_loop(0, nsp, step, s0)
+
+
+def banked_lti_apply_sp(
+    bank: BankedLTISystem,
+    u: jax.Array,
+    s0: jax.Array,
+    axis_name: str,
+    prefer_block: int = 128,
+):
+    """lti_apply_sp for a bank of NB independent systems (e.g. the 30-band
+    IEC 61260 filter bank): the cross-device handoff is one all_gather of
+    [nsp, ..., NB, d] floats; per-band A^L matrices compose the entry
+    states with a banked einsum.
+
+    u: local time segment [..., L] (shared across banks, as
+    BankedLTISystem.apply); s0: [..., NB, d].
+    Returns (y_local [..., NB, L], s_final [..., NB, d]).
+    """
+    k = jax.lax.axis_index(axis_name)
+    nsp = jax.lax.axis_size(axis_name)
+
+    _, b_local = bank.apply(u, jnp.zeros_like(s0), prefer_block)
+    b_all = jax.lax.all_gather(b_local, axis_name)  # [nsp, ..., NB, d]
+
+    T = u.shape[-1]
+    aL = np.stack([
+        np.linalg.matrix_power(m[0], T).T for m in bank.mats
+    ]).astype(np.float32)  # [NB, d, d], right-mult form
+
+    def step(i, s):
+        s_next = jnp.einsum(
+            "...bi,bij->...bj", s, jnp.asarray(aL),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + b_all[i]
+        return jnp.where(i < k, s_next, s)
+
+    s0 = s0 + jnp.zeros_like(b_all[0])
+    s_in = jax.lax.fori_loop(0, nsp, step, s0)
+
+    y, s_out = bank.apply(u, s_in, prefer_block)
+    s_fin = jax.lax.all_gather(s_out, axis_name)[nsp - 1]
+    return y, s_fin

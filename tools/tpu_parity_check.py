@@ -236,6 +236,12 @@ def _families():
         "stft": lambda: _run_tests([tfp.test_stft_parity]),
         "stcorr": lambda: _run_tests([tgp.test_stcorr_parity]),
         "surround": lambda: _run_tests([tgp.test_surround_parity]),
+        # GUI-thread analyzers + the zita resampler (MXU polyphase convs)
+        "goniometer": lambda: _run_tests([
+            lambda: tfp.test_goniometer_parity("goniometer"),
+            lambda: tfp.test_goniometer_parity("goniometer_os1"),
+        ]),
+        "resample": lambda: _run_tests([tfp.test_rational_resampler_parity]),
     }
 
 
