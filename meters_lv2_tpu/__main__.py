@@ -49,7 +49,7 @@ def applicable_meters(nchan: int) -> list[str]:
     return out
 
 
-def build_meter(name: str, fs: float, nchan: int):
+def build_meter(name: str, fs: float, nchan: int, surround_pairs=None):
     from .models import (
         cor, dr14, ebur128, goniometer, kmeter, needle, phasewheel,
         sigdist, spectrum, surround, truepeak, bitmeter,
@@ -60,7 +60,7 @@ def build_meter(name: str, fs: float, nchan: int):
             f"surround needs 3..8 channels, file has {nchan}"
         )
         cls = getattr(surround, f"Surround{nchan}Meter")
-        return cls(fs)
+        return cls(fs, pairs=surround_pairs)
 
     table = {
         "r128": lambda: ebur128.EbuR128Meter(fs, nchan=nchan),
@@ -228,6 +228,12 @@ def main(argv=None):
         help="write end-of-file meter views as PNGs (radar, needle faces,"
              " bargraphs, spectrum, sigdist, bitmeter) to this directory",
     )
+    ap.add_argument(
+        "--surround-pairs", default=None, metavar="A:B,A:B,...",
+        help="correlator channel pairs for the surround meter (the"
+             " reference's surc_a/surc_b ports, src/surmeter.c:119-128);"
+             " e.g. 0:1,2:3,0:4,1:4",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -250,8 +256,19 @@ def main(argv=None):
             ap.error(f"meter {n!r} needs stereo input, files have {C} channels")
     disp_names = [n for n in names if n in DISPLAY_METERS]
     pipe_names = [n for n in names if n not in DISPLAY_METERS]
+    spairs = None
+    if args.surround_pairs:
+        npair = 4 if C > 3 else 3
+        spairs = tuple(
+            tuple(int(v) for v in p.split(":"))
+            for p in args.surround_pairs.split(",")
+        )
+        if len(spairs) != npair:
+            ap.error(f"--surround-pairs needs {npair} A:B pairs for "
+                     f"{C} channels")
     pipe = MeterPipeline(
-        {n: build_meter(n, fs, C) for n in pipe_names}, nchan=C
+        {n: build_meter(n, fs, C, surround_pairs=spairs)
+         for n in pipe_names}, nchan=C
     )
 
     chunk = int(fs * args.chunk_seconds)

@@ -623,6 +623,31 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s_a.hist_m), np.asarray(s_b.hist_m))
 
 
+def test_cli_surround_pairs(tmp_path, capsys):
+    """--surround-pairs routes the correlators (surc_a/b ports,
+    src/surmeter.c:119-128): correlating a channel with itself reads +1."""
+    import json
+
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    t = np.arange(FS // 2) / FS
+    x = np.stack(
+        [0.1 * (c + 1) * np.sin(2 * np.pi * 220 * (c + 1) * t)
+         for c in range(4)]
+    ).astype(np.float32)
+    p1 = str(tmp_path / "q.wav")
+    write_wav(p1, x, FS)
+    rc = main([p1, "--meters", "surround", "--json",
+               "--surround-pairs", "0:0,1:1,0:1,2:3",
+               "--chunk-seconds", "0.25"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    corr = rows[0]["surround"]["correlation"]
+    assert corr[0] > 0.99 and corr[1] > 0.99  # self-correlation
+    assert abs(corr[2]) < 0.5  # different tones
+
+
 def test_cli_render_dir(tmp_path, capsys):
     """--render-dir saves inline-view PNGs per file and meter."""
     from meters_lv2_tpu.__main__ import main
