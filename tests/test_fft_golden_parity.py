@@ -29,6 +29,13 @@ from meters_lv2_tpu.ops.fft import STFT
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
+# relative-tolerance scale: 1 on CPU (true f32); the on-chip sweep
+# (tools/tpu_parity_check.py) sets METERS_GOLDEN_RTOL_SCALE=10 because
+# HIGH-precision (3-pass bf16) GEMMs sit at ~1.5e-5 relative — energy
+# sums over ~1e5 samples land ~3-5e-5, still ~30x inside the +-0.01 dB
+# (1.2e-3 relative) budget
+_RT = float(os.environ.get("METERS_GOLDEN_RTOL_SCALE", "1"))
+
 
 def _load_all(prefix):
     import glob
@@ -217,13 +224,13 @@ def test_goniometer_parity(prefix):
                 ay = np.asarray(out["y"], np.float64)
                 tag = f"{prefix}/{fx['signal']} blk {rec['block']}"
                 np.testing.assert_allclose(
-                    float(out["gain"]), rec["gain"], rtol=1e-4, err_msg=tag)
+                    float(out["gain"]), rec["gain"], rtol=1e-4 * _RT, err_msg=tag)
                 np.testing.assert_allclose(
-                    (ax ** 2).sum(), rec["sx2"], rtol=1e-5, err_msg=tag)
+                    (ax ** 2).sum(), rec["sx2"], rtol=1e-5 * _RT, err_msg=tag)
                 np.testing.assert_allclose(
-                    (ay ** 2).sum(), rec["sy2"], rtol=1e-5, err_msg=tag)
+                    (ay ** 2).sum(), rec["sy2"], rtol=1e-5 * _RT, err_msg=tag)
                 np.testing.assert_allclose(
-                    np.abs(ax).max(), rec["axmax"], rtol=1e-4, err_msg=tag)
+                    np.abs(ax).max(), rec["axmax"], rtol=1e-4 * _RT, err_msg=tag)
 
 
 def test_rational_resampler_parity():
@@ -248,8 +255,11 @@ def test_rational_resampler_parity():
             y, _ = rs.apply(jnp.asarray(xp), rs.init((2,)))
             y = np.asarray(y)
             n = min(g.shape[1], y.shape[1])
+            # CPU f32 sits at ~4e-7 absolute; on TPU (sweep sets
+            # METERS_GOLDEN_RTOL_SCALE=10) the HIGH bf16 conv gives
+            # ~1.5e-5 of the unit-scale signal (~4e-4 dB)
             np.testing.assert_allclose(
-                y[:, :n], g[:, :n], atol=1e-6,
+                y[:, :n], g[:, :n], atol=1e-6 * (20 if _RT > 1 else 1),
                 err_msg=f"{name}/{fx['signal']}")
 
 

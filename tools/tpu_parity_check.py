@@ -32,6 +32,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 
+# on-chip tolerance scale for the CPU-tight fft/goniometer/resampler
+# asserts — must be set BEFORE tests/test_fft_golden_parity imports
+# (it reads _RT at import time)
+os.environ.setdefault("METERS_GOLDEN_RTOL_SCALE", "10")
+
 
 def _fx(name):
     with open(os.path.join(FIXDIR, f"{name}.json")) as f:
