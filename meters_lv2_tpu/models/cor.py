@@ -15,6 +15,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import design, lti
 from .base import register
@@ -38,9 +39,27 @@ class CorrelationMeter:
         self.fs = float(fs)
         w1, w2 = design.stcorr_coeffs(fs, flp, tcf)
         self.w1 = w1
+        self.w2 = w2
         self.lp = lti.one_pole_system(w1, dtype)
-        self.avg = lti.one_pole_system(w2, dtype)
         self.dtype = dtype
+
+    def ema_final(self, prods: jax.Array, zp0: jax.Array) -> jax.Array:
+        """Final value of the w2 running average over prods [..., T].
+
+        Only the END-of-block value is ever read (stcorrdsp::read), so
+        the one-pole is a closed-form weighted sum — one reduction pass
+        instead of a blocked scan over the full product series:
+        z_T = (1-w)^T z_0 + sum_t w (1-w)^{T-1-t} p_t  (exact algebra of
+        `z += w2*(p - z)`, stcorrdsp.cc:62-64)."""
+        T = prods.shape[-1]
+        t = np.arange(T, dtype=np.float64)
+        wv = (self.w2 * (1.0 - self.w2) ** (T - 1.0 - t)).astype(np.float32)
+        decay = np.float32((1.0 - self.w2) ** T)
+        acc = jnp.einsum(
+            "...t,t->...", prods, jnp.asarray(wv),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return zp0 * decay + acc
 
     def init(self, batch_shape=()) -> CorState:
         z1 = jnp.zeros((*batch_shape, 1), self.dtype)
@@ -53,13 +72,8 @@ class CorrelationMeter:
         eps = jnp.float32(1e-20 / self.w1)
         yl, zl = self.lp.apply(l + eps, state.zl)
         yr, zr = self.lp.apply(r + eps, state.zr)
-        prods = jnp.stack([yl * yr, yl * yl, yr * yr], axis=-1)  # [..., T, 3]
-        # three independent scalar one-poles: fold into batch via vmap-free
-        # trick — apply() broadcasts over leading dims, so move the 3-axis in
-        # front of time
-        prods = jnp.moveaxis(prods, -1, -2)  # [..., 3, T]
-        _, zp = self.avg.apply(prods, state.zp[..., None])
-        zp = zp[..., 0]
+        prods = jnp.stack([yl * yr, yl * yl, yr * yr], axis=-2)  # [..., 3, T]
+        zp = self.ema_final(prods, state.zp)
         # non-finite flush + denormal offsets (stcorrdsp.cc:65-76)
         zl = jnp.where(jnp.isfinite(zl), zl, 0.0)
         zr = jnp.where(jnp.isfinite(zr), zr, 0.0)

@@ -14,18 +14,19 @@ import jax
 import jax.numpy as jnp
 
 from .base import register
-from .cor import CorrelationMeter, CorState
+from .cor import CorrelationMeter
 from .kmeter import KMeter, KMeterState
 
 
 @dataclasses.dataclass(frozen=True)
 class SurroundState:
     km: KMeterState  # [..., C]
-    cor: CorState  # [..., P]
+    zl: jax.Array  # [..., C, 1] per-CHANNEL correlator lowpass state
+    zp: jax.Array  # [..., P, 3] per-pair (zab, zaa, zbb) integrators
 
 
 jax.tree_util.register_dataclass(
-    SurroundState, data_fields=["km", "cor"], meta_fields=[]
+    SurroundState, data_fields=["km", "zl", "zp"], meta_fields=[]
 )
 
 
@@ -55,7 +56,8 @@ class SurroundMeter:
     def init(self, batch_shape=()) -> SurroundState:
         return SurroundState(
             km=self.km.init((*batch_shape, self.nchan)),
-            cor=self.cor.init((*batch_shape, self.npairs)),
+            zl=jnp.zeros((*batch_shape, self.nchan, 1), self.dtype),
+            zp=jnp.zeros((*batch_shape, self.npairs, 3), self.dtype),
         )
 
     def update(
@@ -66,12 +68,23 @@ class SurroundMeter:
         `pairs` optionally re-routes the correlators at runtime ([P, 2]
         int array, may be traced) — the reference reads its surc_a/surc_b
         control ports every run() (src/surmeter.c:119-128), so routing is a
-        per-call input, not a rebuild.  Correlator state carries across a
-        routing change, as in the reference.  Channel selection is a
-        one-hot matmul (traced-index gathers serialize on TPU).
+        per-call input, not a rebuild.  Channel selection is a one-hot
+        matmul (traced-index gathers serialize on TPU).
+
+        The correlator lowpass runs ONCE PER CHANNEL and pairs select the
+        FILTERED signals (filtering commutes with selection, so results
+        are identical to the reference's per-correlator filters for any
+        fixed routing, and the C-channel pass replaces 2P redundant ones
+        — measured 23.5 -> 11 ms at 204x5ch x 1 s).  Across a mid-stream
+        re-route the pair's product integrators carry (as the reference's
+        do); its lowpass state follows the newly selected channel —
+        converged within the 2 kHz pole's sub-ms constant.
         """
         assert x.shape[-2] == self.nchan
         km = self.km.update(state.km, x)
+        cor = self.cor
+        eps = jnp.float32(1e-20 / cor.w1)
+        y, zl = cor.lp.apply(x + eps, state.zl)  # [..., C, T]
         if pairs is None:
             a_idx = jnp.array([p[0] for p in self.pairs])
             b_idx = jnp.array([p[1] for p in self.pairs])
@@ -87,20 +100,26 @@ class SurroundMeter:
             )
         sel_a = jax.nn.one_hot(a_idx, self.nchan, dtype=x.dtype)  # [P, C]
         sel_b = jax.nn.one_hot(b_idx, self.nchan, dtype=x.dtype)
-        xa = jnp.einsum("pc,...ct->...pt", sel_a, x)
-        xb = jnp.einsum("pc,...ct->...pt", sel_b, x)
-        lr = jnp.stack([xa, xb], axis=-2)  # [..., P, 2, T]
-        cor = self.cor.update(state.cor, lr)
-        return SurroundState(km=km, cor=cor)
+        ya = jnp.einsum("pc,...ct->...pt", sel_a, y)
+        yb = jnp.einsum("pc,...ct->...pt", sel_b, y)
+        prods = jnp.stack([ya * yb, ya * ya, yb * yb], axis=-2)  # [..,P,3,T]
+        zp = cor.ema_final(prods, state.zp)
+        # non-finite flush + denormal offsets (stcorrdsp.cc:65-76)
+        zl = jnp.where(jnp.isfinite(zl), zl, 0.0)
+        zp = jnp.where(jnp.isfinite(zp), zp, 0.0) + 1e-10
+        return SurroundState(km=km, zl=zl, zp=zp)
 
     def read(self, state: SurroundState):
         km_out, km_st = self.km.read(state.km)
-        c, cor_st = self.cor.read(state.cor)
+        zab, zaa, zbb = (
+            state.zp[..., 0], state.zp[..., 1], state.zp[..., 2]
+        )
+        c = zab / jnp.sqrt(zaa * zbb + 1e-10)
         return {
             "level": km_out["rms"],
             "peak": km_out["peak"],
             "correlation": c,
-        }, SurroundState(km=km_st, cor=cor_st)
+        }, SurroundState(km=km_st, zl=state.zl, zp=state.zp)
 
 
 def _make(n):

@@ -262,14 +262,24 @@ def fused_core(
         h2 = jnp.pad(h2, ((0, 0), (0, rpad), (0, 0)))
     Bp = B + rpad
 
+    import os as _os
+
     if r_tile is None:
-        r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
+        env_r = _os.environ.get("METERS_TPU_R128_RTILE")
+        if env_r:
+            r_tile = int(env_r) if Bp % int(env_r) == 0 else None
+        if r_tile is None:
+            r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
     nb = T // _BLK
     # blocks per time tile: capped at 15 (measured best of the compiling
     # configs; k >= 25 unrolls blow the 16 MB VMEM scoped-allocation
-    # budget at r_tile=128)
+    # budget at r_tile=128).  METERS_TPU_R128_K overrides for tile sweeps.
     if k is None:
-        k = _pick_tile(nb, range(15, 0, -1))
+        env_k = _os.environ.get("METERS_TPU_R128_K")
+        if env_k and nb % int(env_k) == 0:
+            k = int(env_k)
+        else:
+            k = _pick_tile(nb, range(15, 0, -1))
     assert Bp % r_tile == 0 and nb % k == 0, (Bp, r_tile, nb, k)
     t_tile = k * _BLK
     nt = T // t_tile
