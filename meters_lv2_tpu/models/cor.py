@@ -5,8 +5,10 @@ Per sample: one-pole lowpass (w1 = 6.28*flp/fs) on L and R, then one-pole
 averages (w2 = 1/(tcf*fs)) of zl*zr, zl^2, zr^2; readout
 zlr / sqrt(zll*zrr + 1e-10).
 
-TPU design: all four recurrences are linear → two chained blocked MXU
-recurrences (ops.lti) with an elementwise product in between.
+TPU design: the lowpass is a blocked MXU recurrence (ops.lti); the
+running products need only their END-of-block value (read() is the only
+consumer), so the w2 averages evaluate as one closed-form weighted-sum
+reduction instead of a second blocked scan (ema_final).
 """
 
 from __future__ import annotations

@@ -14,7 +14,7 @@ on the chip, with `assert_level` instrumented to record worst deviations.
 
     python tools/tpu_parity_check.py [family ...]
     families: ebur128 truepeak ballistics spectrum dr14 sigdist bitmeter
-              stft stcorr surround    (default: all)
+              stft stcorr surround goniometer resample    (default: all)
 
 Legacy single-fixture mode (used by older notes): a fixture name like
 `ebur128_mix` or `truepeak_mix` runs just that fixture.
