@@ -64,8 +64,12 @@ def meter_throughput(meter, batch_shape, chunk_samples: int, fs: float,
     shape = (*batch_shape, *( (nchan,) if nchan else () ), chunk_samples)
     x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
     st = meter.init(batch_shape)
-    upd = jax.jit(meter.update)
-    r = time_op(lambda s: upd(s, x), st, iters=iters)
+    if hasattr(meter, "update"):
+        upd = jax.jit(meter.update)
+        r = time_op(lambda s: upd(s, x), st, iters=iters)
+    else:  # display processors (goniometer/phasewheel/stereoscope)
+        proc = jax.jit(lambda s, v: meter.process(s, v)[1])
+        r = time_op(lambda s: proc(s, x), st, iters=iters)
     streams = int(np.prod(batch_shape)) if batch_shape else 1
     stream_seconds = streams * chunk_samples / fs
     r["x_realtime"] = stream_seconds / (r["ms_per_call"] / 1e3)

@@ -52,6 +52,15 @@ def main(B: int = 1024, seconds: float = 1.0):
         ("Spectrum 30-band", SpectrumAnalyzer(fs), (B // 16,), None),
         ("Surround 5.0", Surround5Meter(fs), (B // 5,), 5),
     ]
+    from meters_lv2_tpu.models.goniometer import Goniometer
+    from meters_lv2_tpu.models.phasewheel import PhaseWheel, Stereoscope
+
+    cases += [
+        # GUI-thread analyzers (process() interface)
+        ("Goniometer (4x)", Goniometer(fs), (B // 8,), 2),
+        ("PhaseWheel 8k-FFT", PhaseWheel(fs), (B // 16,), 2),
+        ("Stereoscope", Stereoscope(fs), (B // 16,), 2),
+    ]
     print(f"device: {jax.devices()[0]}  B={B}  chunk={seconds}s")
     rows = {}
     for label, meter, bshape, nchan in cases:
