@@ -143,6 +143,51 @@ class STFT:
         )
         return power, phase, new_state
 
+    def update_stereo(self, state: STFTState, x: jax.Array):
+        """update() for a stereo pair with ONE complex FFT for both
+        channels (the classic real-pair packing: Z = fft(l + i*r),
+        L_k = (Z_k + conj(Z_{-k}))/2, R_k = -i (Z_k - conj(Z_{-k}))/2).
+
+        state: STFTState with a trailing channel batch dim of 2 (as
+        init((*batch, 2))); x: [..., 2, T].  Returns the same
+        (power, phase, state) as update() — channel axis at -3 of the
+        frame outputs — with identical math up to FFT rounding.
+
+        Measured SLOWER than two rffts on TPU v5e (phasewheel 17.7 vs
+        13.2 ms at 64x1s): XLA's rfft already exploits realness, so the
+        full-width complex transform plus the flip/unpack costs more
+        than it saves.  Kept for backends where rfft lowers naively.
+        """
+        *batch, C, T = x.shape
+        assert C == 2
+        F = self.frames_in(T)
+        W = self.window_size
+        ext = jnp.concatenate([state.tail, x], axis=-1)  # [..., 2, W + T]
+        starts = (jnp.arange(F) + 1) * self.hop
+        idx = starts[:, None] + jnp.arange(W)[None, :]
+        frames = ext[..., idx] * self.win  # [..., 2, F, W]
+        z = jax.lax.complex(frames[..., 0, :, :], frames[..., 1, :, :])
+        Z = jnp.fft.fft(z, axis=-1)  # [..., F, W]
+        H = W // 2
+        Zk = Z[..., : H + 1]
+        # conj(Z_{-k}) for k = 0..W/2  (Z_{-0} = Z_0)
+        Zr = jnp.concatenate(
+            [Z[..., :1], jnp.flip(Z[..., W - H :], axis=-1)], axis=-1
+        ).conj()
+        L = 0.5 * (Zk + Zr)
+        R = -0.5j * (Zk - Zr)
+        X = jnp.stack([L, R], axis=-3)  # [..., 2, F, W/2+1]
+        re = jnp.real(X).astype(self.dtype)
+        im = jnp.imag(X).astype(self.dtype)
+        power = (re * re + im * im)[..., : self.data_size]
+        phase = jnp.arctan2(im, re)[..., : self.data_size]
+        power = power.at[..., self.data_size - 1].set(0.0)
+        phase = phase.at[..., 0].set(0.0)
+        phase = phase.at[..., self.data_size - 1].set(0.0)
+        return power, phase, STFTState(
+            tail=ext[..., -W:], phase_h=phase[..., -1, :]
+        )
+
     def analyze_impulse(self, run_fn, prerun: int = 8192):
         """Transfer-function self-analysis (fa_analyze_dsp, fft.c:363-387):
         pre-feed `prerun` zeros through run_fn (flushes filter state), then

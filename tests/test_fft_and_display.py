@@ -327,3 +327,22 @@ def test_gen_docs_tool(tmp_path):
     for name in SCHEMAS:
         assert f'{name}.html' in idx
     assert "EBUr128" in idx
+
+
+def test_stft_update_stereo_matches_update():
+    """The packed-pair complex FFT path == two rffts (kept for backends
+    with naive rfft lowering; measured slower on TPU v5e)."""
+    from meters_lv2_tpu.ops.fft import STFT
+
+    st = STFT(FS)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(0.3 * rng.standard_normal((3, 2, st.hop * 3)), jnp.float32)
+    s0 = st.init((3, 2))
+    p1, ph1, s1 = st.update(s0, x)
+    p2, ph2, s2 = st.update_stereo(s0, x)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-6)
+    mask = np.asarray(p1) > 1e-8
+    np.testing.assert_allclose(
+        np.asarray(ph2)[mask], np.asarray(ph1)[mask], atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(s2.tail), np.asarray(s1.tail))
