@@ -86,6 +86,15 @@ def main():
             f"dBTP = {20 * np.log10(max(float(out['dbtp'][b]), 1e-10)):7.2f}"
         )
 
+    # the 30-band spectrum shards the same way (banked LTI state handoff)
+    from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
+    from meters_lv2_tpu.parallel.spectrum_sharded import analyze_spectrum
+
+    sout, _ = analyze_spectrum(SpectrumAnalyzer(fs), jnp.asarray(xs), mesh)
+    b0 = np.asarray(sout["bands"])[0]
+    print(f"stream 0 spectrum: peak band {int(b0.argmax())} "
+          f"at {b0.max():.1f} dB (time-sharded over 'sp')")
+
     # checkpoint the sharded outputs without a host gather
     import tempfile
 
