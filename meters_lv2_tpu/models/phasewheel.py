@@ -134,7 +134,9 @@ class Stereoscope:
 
     def process(self, state, lr: jax.Array):
         """lr: [..., 2, T] → ({'lr','level'} smoothed per final frame, state)."""
-        power, _, stft_st = self.stft.update(state["stft"], lr)
+        power, _, stft_st = self.stft.update(
+            state["stft"], lr, compute_phase=False
+        )
         pl, pr = power[..., 0, :, :], power[..., 1, :, :]
         thresh = 1e-20
         lv = jnp.maximum(pl, pr)

@@ -110,11 +110,15 @@ class STFT:
         assert T % self.hop == 0, (T, self.hop)
         return T // self.hop
 
-    def update(self, state: STFTState, x: jax.Array):
+    def update(self, state: STFTState, x: jax.Array,
+               compute_phase: bool = True):
         """x: [..., T], T % hop == 0.
 
         Returns (power [..., F, W/2], phase [..., F, W/2], new_state) where
         F = T // hop; frame f covers the window ending at sample (f+1)*hop.
+        Power-only consumers (e.g. the stereoscope) pass
+        compute_phase=False to skip the per-bin atan2 (phase returns
+        zeros and phase_h is carried unchanged).
         """
         *batch, T = x.shape
         F = self.frames_in(T)
@@ -129,18 +133,19 @@ class STFT:
         re = jnp.real(X).astype(self.dtype)
         im = jnp.imag(X).astype(self.dtype)
         power = re * re + im * im
-        phase = jnp.arctan2(im, re)
         # ft_analyze boundary handling (fft.c:166-178): bin 0 phase = 0,
         # power[0] = Re0^2; top bin of data_size left zero
         power = power[..., : self.data_size]
-        phase = phase[..., : self.data_size]
         power = power.at[..., self.data_size - 1].set(0.0)
-        phase = phase.at[..., 0].set(0.0)
-        phase = phase.at[..., self.data_size - 1].set(0.0)
-        new_state = STFTState(
-            tail=ext[..., -W:],
-            phase_h=phase[..., -1, :],
-        )
+        if compute_phase:
+            phase = jnp.arctan2(im, re)[..., : self.data_size]
+            phase = phase.at[..., 0].set(0.0)
+            phase = phase.at[..., self.data_size - 1].set(0.0)
+            phase_h = phase[..., -1, :]
+        else:
+            phase = jnp.zeros_like(power)
+            phase_h = state.phase_h
+        new_state = STFTState(tail=ext[..., -W:], phase_h=phase_h)
         return power, phase, new_state
 
     def update_stereo(self, state: STFTState, x: jax.Array):
