@@ -53,12 +53,13 @@ class SpectrumAnalyzer:
         systems = []
         for f_m, bw in design.spectrum_band_frequencies(N_BANDS):
             stages = design.bandpass_design(fs, f_m, bw, order=6)
-            # balanced modal coordinates: float32-safe for the high-Q low
-            # bands (the reference runs these biquads in double,
-            # spectr.c:63-66; direct forms lose ~0.1 dB in f32)
-            systems.append(
-                design.modal_balance(*design.biquad_cascade_state_space(stages))
-            )
+            # cascade of balanced per-stage 2x2 modal sections: float32-
+            # safe for the high-Q low bands (the reference runs these
+            # biquads in double, spectr.c:63-66; direct forms lose
+            # ~0.1 dB in f32), and the block lower-triangular A with
+            # exact 2x2 diagonal blocks lets the fused kernel run the
+            # state chain as exact-f32 VPU lane FMAs (ops/pallas_spectrum)
+            systems.append(design.cascade_modal_state_space(stages))
         self.bank = lti.BankedLTISystem(systems, dtype)
         self.speed = min(max(float(speed), 0.01), 15.0)
         self.omega = self._omega(self.speed)

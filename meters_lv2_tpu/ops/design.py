@@ -378,7 +378,7 @@ def bandpass_design(rate: float, freq: float, band: float, order: int = 6) -> li
     return [BiquadCoeffs(b0=s[2], b1=s[3], b2=s[4], a1=s[0], a2=s[1]) for s in stages]
 
 
-def modal_balance(A, B, C, D):
+def modal_balance(A, B, C, D, exact_blocks: bool = True):
     """Similarity-transform (A,B,C,D) to a balanced real modal form.
 
     Eigen-decomposes A into real 2x2 rotation blocks (complex pairs) /
@@ -387,6 +387,18 @@ def modal_balance(A, B, C, D):
     arithmetic, but float32 execution conditions dramatically better for
     high-Q systems (the 25 Hz IEC 61260 bands have poles at radius
     1 - 1e-5 where direct-form states cancel catastrophically).
+
+    With ``exact_blocks`` (default) the modal A is constructed
+    ANALYTICALLY from the eigenvalues — each complex pair lambda gives the
+    exact 2x2 block [[Re, Im], [-Im, Re]], real eigenvalues give exact 1x1
+    diagonal entries, and every off-block entry is exactly 0.0 (instead of
+    the ~1e-14 similarity-transform residue Ti @ A @ T leaves).  Exact
+    zeros are load-bearing for ops/pallas_spectrum: matrix powers of an
+    exactly-block-diagonal A stay exactly block-diagonal, so the per-block
+    state propagator A^T decomposes into per-mode 2x2 rotations the kernel
+    can run as exact-f32 VPU elementwise FMAs instead of a 6-pass bf16
+    GEMM.  The O(1e-14) perturbation of the transfer function is orders of
+    magnitude below the f32 noise floor.
     """
     A = np.asarray(A, np.float64)
     B = np.asarray(B, np.float64)
@@ -396,10 +408,12 @@ def modal_balance(A, B, C, D):
     d = A.shape[0]
     used = np.zeros(d, bool)
     cols = []  # real basis columns
+    blocks = []  # (offset, eigenvalue, is_pair)
     for i in range(d):
         if used[i]:
             continue
         if abs(w[i].imag) < 1e-12:
+            blocks.append((len(cols), w[i], False))
             cols.append(V[:, i].real)
             used[i] = True
         else:
@@ -409,6 +423,7 @@ def modal_balance(A, B, C, D):
                 if not used[k] and abs(w[k] - np.conj(w[i])) < 1e-8 * max(1, abs(w[i])):
                     j = k
                     break
+            blocks.append((len(cols), w[i], True))
             cols.append(V[:, i].real)
             cols.append(V[:, i].imag)
             used[i] = True
@@ -416,7 +431,21 @@ def modal_balance(A, B, C, D):
                 used[j] = True
     T = np.stack(cols, axis=1)
     Ti = np.linalg.inv(T)
-    Am = Ti @ A @ T
+    if exact_blocks:
+        # A v = lambda v with v = vr + i*vi gives A [vr vi] = [vr vi] @
+        # [[Re, Im], [-Im, Re]] exactly, so this IS Ti @ A @ T up to the
+        # eigensolver's O(1e-12) residue — minus the residue.
+        Am = np.zeros((d, d))
+        for off, lam, is_pair in blocks:
+            if is_pair:
+                Am[off, off] = lam.real
+                Am[off, off + 1] = lam.imag
+                Am[off + 1, off] = -lam.imag
+                Am[off + 1, off + 1] = lam.real
+            else:
+                Am[off, off] = lam.real
+    else:
+        Am = Ti @ A @ T
     Bm = Ti @ B
     Cm = C @ T
     # per-state diagonal balancing: scale so |B| and |C| rows match
@@ -438,6 +467,46 @@ def modal_balance(A, B, C, D):
     return Si @ Am @ S, Si @ Bm, Cm @ S, D
 
 
+def series_connect(
+    systems: list[tuple],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Series-connect (A, B, C, D) systems (first feeds second, ...).
+
+    The composite A is block LOWER-triangular: diagonal blocks are the
+    section A's, strictly-lower blocks the feed couplings B_i @ C_j
+    chains.  Powers of A stay in the same block structure with EXACT
+    structural zeros (0*x + 0*y sums stay 0.0 in IEEE).
+    """
+    A_tot = np.zeros((0, 0))
+    B_tot = np.zeros((0, 1))
+    C_tot = np.zeros((1, 0))
+    D_tot = np.eye(1)
+    for A, B, C, D in systems:
+        A = np.asarray(A, np.float64)
+        B = np.asarray(B, np.float64)
+        C = np.asarray(C, np.float64)
+        D = np.asarray(D, np.float64)
+        n0 = A_tot.shape[0]
+        n1 = A.shape[0]
+        A_new = np.zeros((n0 + n1, n0 + n1))
+        A_new[:n0, :n0] = A_tot
+        A_new[n0:, :n0] = B @ C_tot
+        A_new[n0:, n0:] = A
+        B_new = np.vstack([B_tot, B @ D_tot])
+        C_new = np.hstack([D @ C_tot, C])
+        D_new = D @ D_tot
+        A_tot, B_tot, C_tot, D_tot = A_new, B_new, C_new, D_new
+    return A_tot, B_tot, C_tot, D_tot
+
+
+def _biquad_state_space(s: BiquadCoeffs) -> tuple[np.ndarray, ...]:
+    A = np.array([[-s.a1, 1.0], [-s.a2, 0.0]])
+    B = np.array([[s.b1 - s.a1 * s.b0], [s.b2 - s.a2 * s.b0]])
+    C = np.array([[1.0, 0.0]])
+    D = np.array([[s.b0]])
+    return A, B, C, D
+
+
 def biquad_cascade_state_space(
     stages: list[BiquadCoeffs],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -451,24 +520,35 @@ def biquad_cascade_state_space(
 
     State = concatenated (z1, z2) per stage.
     """
-    A_tot = np.zeros((0, 0))
-    B_tot = np.zeros((0, 1))
-    C_tot = np.zeros((1, 0))
-    D_tot = np.eye(1)
-    for s in stages:
-        A = np.array([[-s.a1, 1.0], [-s.a2, 0.0]])
-        B = np.array([[s.b1 - s.a1 * s.b0], [s.b2 - s.a2 * s.b0]])
-        C = np.array([[1.0, 0.0]])
-        D = np.array([[s.b0]])
-        # series: previous output feeds this stage
-        n0 = A_tot.shape[0]
-        n1 = A.shape[0]
-        A_new = np.zeros((n0 + n1, n0 + n1))
-        A_new[:n0, :n0] = A_tot
-        A_new[n0:, :n0] = B @ C_tot
-        A_new[n0:, n0:] = A
-        B_new = np.vstack([B_tot, B @ D_tot])
-        C_new = np.hstack([D @ C_tot, C])
-        D_new = D @ D_tot
-        A_tot, B_tot, C_tot, D_tot = A_new, B_new, C_new, D_new
-    return A_tot, B_tot, C_tot, D_tot
+    return series_connect([_biquad_state_space(s) for s in stages])
+
+
+def cascade_modal_state_space(
+    stages: list[BiquadCoeffs],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Cascade of per-stage BALANCED 2x2 modal sections.
+
+    Each biquad is transformed to its own exact modal form first (a 2x2
+    eigenproblem — perfectly conditioned, unlike eigendecomposing the
+    whole clustered-pole cascade, where LAPACK's cluster-splitting error
+    can push modal eigenvalues OUTSIDE the unit circle; measured: the
+    exactified 12-state parallel modal form of the low 1/3-octave bands
+    diverges in f32 while this form stays stable).  The composite A is
+    block lower-triangular with exact 2x2 rotation diagonal blocks and
+    exact structural zeros above — a structure matrix powers preserve,
+    so the per-block propagator A^T decomposes into <= d/2 lane-shifted
+    per-lane FMAs (see ops/pallas_spectrum).  This is the classic
+    numerically-robust cascade-of-second-order-sections topology, in
+    state-space block form.
+    """
+    def section(s):
+        raw = _biquad_state_space(s)
+        try:
+            m = modal_balance(*raw)
+        except np.linalg.LinAlgError:
+            return raw  # defective (repeated real pole): keep companion
+        if not all(np.isfinite(x).all() for x in m):
+            return raw
+        return m
+
+    return series_connect([section(s) for s in stages])

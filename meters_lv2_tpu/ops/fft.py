@@ -15,7 +15,9 @@ Window functions and their 2/sum normalisation follow fft.c:84-161.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +63,94 @@ def make_window(kind: str, n: int) -> np.ndarray:
     return (w * (2.0 / w.sum())).astype(np.float64)
 
 
+class GemmRFFT:
+    """Real FFT as two-stage Cooley-Tukey MXU GEMMs.
+
+    XLA's TPU FFT lowering spreads an 8192-point transform across many
+    small stages; this instead packs even/odd samples as one complex
+    sequence of M = n/2, factors M = M1*M2 (~64x64), and runs the two
+    DFT stages as batched [*, M1|M2]-contraction matmuls that tile
+    straight onto the MXU (precision HIGH = 3-pass bf16 on TPU, true f32
+    elsewhere), with the standard r2c untangle at the end.  Math:
+
+      z[m] = x[2m] + i x[2m+1]
+      Z = DFT_M(z):  Y[n1,k2] = sum_n2 z[n1 + M1*n2] W_M2^{n2 k2}
+                     Z[k2 + M2*k1] = sum_n1 W_M^{n1 k2} W_M1^{n1 k1} Y
+      X[k] = (Z[k] + conj(Z[-k]))/2 - (i/2) W_n^k (Z[k] - conj(Z[-k]))
+
+    Returns bins 0..M-1 (exactly the data_size bins the analyzers use;
+    fft.c's ft_analyze zeroes the top one anyway).
+    """
+
+    def __init__(self, n: int, dtype=jnp.float32):
+        assert n % 2 == 0
+        self.n = n
+        m = n // 2
+        m1 = 1 << ((m.bit_length() - 1) // 2)
+        m2 = m // m1
+        assert m1 * m2 == m, (n, m1, m2)
+        self.m, self.m1, self.m2 = m, m1, m2
+        k2 = np.arange(m2)
+        n1 = np.arange(m1)
+        a2 = -2.0 * math.pi / m2 * np.outer(k2, k2)
+        self.f2c = np.cos(a2).astype(np.float32)  # [n2, k2]
+        self.f2s = np.sin(a2).astype(np.float32)
+        a1 = -2.0 * math.pi / m1 * np.outer(n1, n1)
+        self.f1c = np.cos(a1).astype(np.float32)  # [k1, n1]
+        self.f1s = np.sin(a1).astype(np.float32)
+        tw = -2.0 * math.pi / m * np.outer(n1, k2)
+        self.twc = np.cos(tw).astype(np.float32)  # [n1, k2]
+        self.tws = np.sin(tw).astype(np.float32)
+        k = np.arange(m)
+        wk = -2.0 * math.pi / n * k
+        self.wc = np.cos(wk).astype(np.float32)
+        self.ws = np.sin(wk).astype(np.float32)
+        self.dtype = dtype
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """x: [..., n] real -> (re, im) each [..., n//2] (bins 0..n/2-1)."""
+        import jax.lax as lax
+
+        P = lax.Precision.HIGH
+        m, m1, m2 = self.m, self.m1, self.m2
+        *b, n = x.shape
+        assert n == self.n, (n, self.n)
+        z = x.reshape(*b, m, 2)
+        zr = z[..., 0].reshape(*b, m2, m1)  # [n2, n1]
+        zi = z[..., 1].reshape(*b, m2, m1)
+        # stage A: contract n2 (the sublane axis — dot_general handles
+        # either orientation, no transpose copy)
+        ee = functools.partial(jnp.einsum, precision=P)
+        yr = ee("...ni,nk->...ik", zr, self.f2c) - ee(
+            "...ni,nk->...ik", zi, self.f2s
+        )  # [n1, k2]
+        yi = ee("...ni,nk->...ik", zr, self.f2s) + ee(
+            "...ni,nk->...ik", zi, self.f2c
+        )
+        # twiddle
+        tr = yr * self.twc - yi * self.tws
+        ti = yr * self.tws + yi * self.twc
+        # stage B: contract n1
+        zr2 = ee("kn,...nj->...kj", self.f1c, tr) - ee(
+            "kn,...nj->...kj", self.f1s, ti
+        )  # [k1, k2]
+        zi2 = ee("kn,...nj->...kj", self.f1c, ti) + ee(
+            "kn,...nj->...kj", self.f1s, tr
+        )
+        Zr = zr2.reshape(*b, m)  # k = M2*k1 + k2
+        Zi = zi2.reshape(*b, m)
+        # r2c untangle: E/O split against conj(Z[-k])
+        Zrr = jnp.concatenate([Zr[..., :1], jnp.flip(Zr[..., 1:], -1)], -1)
+        Zri = jnp.concatenate([Zi[..., :1], jnp.flip(Zi[..., 1:], -1)], -1)
+        er = 0.5 * (Zr + Zrr)
+        ei = 0.5 * (Zi - Zri)
+        orr = 0.5 * (Zi + Zri)
+        oi = 0.5 * (Zrr - Zr)
+        re = er + self.wc * orr - self.ws * oi
+        im = ei + self.wc * oi + self.ws * orr
+        return re.astype(self.dtype), im.astype(self.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class STFTState:
     """Carried ring of the last window_size samples + analysis history."""
@@ -99,6 +189,32 @@ class STFT:
         self.freq_per_bin = self.rate / self.data_size / 2.0
         self.phasediff_step = math.pi / self.data_size
         self.dtype = dtype
+        self._gemm = None  # built lazily; keyed on the env-resolved mode
+
+    def _rfft_halves(self, frames: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """(re, im) of the first data_size rfft bins of [..., W] frames.
+
+        METERS_TPU_STFT_GEMM selects the transform: '1' forces the
+        two-stage GEMM DFT (ops.fft.GemmRFFT), '0' forces jnp.fft.rfft,
+        default 'auto' = GEMM on TPU (where XLA's FFT lowering leaves
+        the MXU idle; measured in docs/BENCHMARKS.md), rfft elsewhere.
+        """
+        mode = os.environ.get("METERS_TPU_STFT_GEMM", "auto")
+        use_gemm = (
+            mode == "1"
+            or (
+                mode == "auto"
+                and jax.default_backend() in ("tpu", "axon")
+            )
+        ) and self.window_size % 4 == 0
+        if use_gemm:
+            if self._gemm is None:
+                self._gemm = GemmRFFT(self.window_size, self.dtype)
+            return self._gemm(frames)
+        X = jnp.fft.rfft(frames, axis=-1)
+        re = jnp.real(X).astype(self.dtype)[..., : self.data_size]
+        im = jnp.imag(X).astype(self.dtype)[..., : self.data_size]
+        return re, im
 
     def init(self, batch_shape=()) -> STFTState:
         return STFTState(
@@ -129,16 +245,13 @@ class STFT:
         idx = starts[:, None] + jnp.arange(W)[None, :]  # [F, W]
         frames = ext[..., idx]  # [..., F, W]
         frames = frames * self.win
-        X = jnp.fft.rfft(frames, axis=-1)  # [..., F, W/2+1]
-        re = jnp.real(X).astype(self.dtype)
-        im = jnp.imag(X).astype(self.dtype)
+        re, im = self._rfft_halves(frames)  # [..., F, W/2]
         power = re * re + im * im
         # ft_analyze boundary handling (fft.c:166-178): bin 0 phase = 0,
         # power[0] = Re0^2; top bin of data_size left zero
-        power = power[..., : self.data_size]
         power = power.at[..., self.data_size - 1].set(0.0)
         if compute_phase:
-            phase = jnp.arctan2(im, re)[..., : self.data_size]
+            phase = jnp.arctan2(im, re)
             phase = phase.at[..., 0].set(0.0)
             phase = phase.at[..., self.data_size - 1].set(0.0)
             phase_h = phase[..., -1, :]

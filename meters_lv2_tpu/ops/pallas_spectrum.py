@@ -5,8 +5,7 @@ One pass over the (downmixed) input computes, per stream and band:
   * the 6th-order IEC 61260 band-pass output y (the banked modal-balanced
     12-state blocked LTI, ops/lti.BankedLTISystem — src/spectr.c:68-87),
   * the squared signal fed through the display one-pole smoother with the
-    RUNTIME omega (spectrumlv2.c:170-177; omega arrives as a traced
-    [128,128] one-pole Toeplitz operator built in XLA per call),
+    RUNTIME omega (spectrumlv2.c:170-177),
   * the running peak-hold of the smoothed value (spectrumlv2.c:224),
 
 carrying the 12-dim filter states and smoother values across blocks.
@@ -18,27 +17,41 @@ measured HBM-bound at 13.9 ms (docs/BENCHMARKS.md round 4).  Here the
 full-rate intermediates never leave VMEM; the only HBM traffic is one
 read of x plus O(B*30) state words.
 
-Layout (v2 — band-PACKED): grid is (row_tiles, time_tiles) only.  All 30
-bands ride in the lane dimension:
+Layout (v4 — band-PACKED, MODAL VPU state chain): grid is
+(row_tiles, time_tiles) only.  All 30 bands ride in the lane dimension:
 
   * conv: ONE streamed dot [r,128] @ K_all [128, 30*128] per 128-sample
     block — Mosaic keeps the MXU busy streaming weight tiles instead of
     issuing 30 small dependent dots (the v1 per-band grid measured 38%
     MXU efficiency on the conv alone).
-  * states: s_packed [r, 30*16] advances through a block-diagonal
-    At [480,480] and one G_all [128,480] dot per block.
-  * smoother: per-band dots against the SAME traced operator, issued
-    back-to-back so the weights stay loaded (weight-stationary).
+  * states: s_packed [r, 512] (16 lanes per band, 12 used, padded to a
+    128-lane multiple so lane rotates stay cheap).  The band systems are
+    cascades of balanced 2x2 modal sections (design.
+    cascade_modal_state_space), so the per-block propagator A^128 is
+    exactly block lower-triangular in 2x2 section blocks — s @ At
+    decomposes into <= 6 lane-shifted exact-f32 VPU FMAs (same-parity
+    sources via 2k-lane rolls of s, opposite-parity via rolls of the
+    pair-swap).  This replaced the v2 480x480 6-pass bf16 GEMM (~43% of
+    the kernel's MXU work) with exact-f32 VPU ops — the same move that
+    made pallas_r128's d=4 chain faster AND more accurate (state-chain
+    errors compound across blocks x resonance; see the precision table
+    in docs/BENCHMARKS.md).  NB a fully-diagonal parallel modal form was
+    tried and is UNSTABLE: LAPACK cluster-splitting error on the
+    clustered high-Q poles pushes exactified eigenvalues outside the
+    unit circle (the ~1e-13 off-block couplings of the numeric
+    similarity are load-bearing).
+  * smoother (two variants, METERS_TPU_SPECTRUM_SMOOTH=scan|gemm):
+    - scan (default): exact-f32 log-doubling one-pole prefix scan over
+      the 128 lanes of each band group (7 masked roll-FMA steps on the
+      whole [r, 3840] row), then per-band carry add + max.
+    - gemm: per-band 3-pass bf16 dots against a traced [128,128] one-pole
+      Toeplitz operator (the v2 formulation), weight-stationary.
 
-Precision: as in pallas_r128, Mosaic lowers plain f32 dots to ONE bf16
-pass, so GEMMs run as manual bf16-split passes — 3-pass (== XLA
-Precision.HIGH) for the feed-forward conv/Sy/G/smoother, 6-pass (3-way
-splits, ~f32-exact) for the At state propagation whose errors compound
-across blocks amplified by the resonant poles: 3-pass At measured
-0.25 dB on the 25 Hz band (pole radius 1-1e-5), 6-pass 0.0006 dB; the
-same finding forced ops/lti.py's state chain to Precision.HIGHEST
-(docs/BENCHMARKS.md round 4).  tools/tpu_parity_check.py's spectrum
-family validates the result on-chip against the compiled reference.
+Precision: Mosaic lowers plain f32 dots to ONE bf16 pass, so the
+feed-forward conv/Sy/G GEMMs run as manual 3-pass bf16 splits (== XLA
+Precision.HIGH); the state chain and (in scan mode) the smoother are
+exact f32 VPU arithmetic.  tools/tpu_parity_check.py's spectrum family
+validates the result on-chip against the compiled reference.
 """
 
 from __future__ import annotations
@@ -54,6 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 _BLK = 128
 _DP = 16  # padded per-band state lanes (12 used)
 _F32 = jnp.float32
+_SCAN_STEPS = 7  # log2(128) doubling steps
 
 
 def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -66,42 +80,64 @@ def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _split3_bf16_host(a: np.ndarray) -> tuple[np.ndarray, ...]:
-    """3-way bf16 split (hi+mid+lo ~ f32 exactly to 2^-24)."""
-    import ml_dtypes
-
-    bf16 = np.dtype(ml_dtypes.bfloat16)
-    a = np.asarray(a, np.float32)
-    hi = a.astype(bf16)
-    r = a - hi.astype(np.float32)
-    mid = r.astype(bf16)
-    lo = (r - mid.astype(np.float32)).astype(bf16)
-    return hi, mid, lo
-
-
 def _split_bf16(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     hi = a.astype(jnp.bfloat16)
     return hi, (a - hi.astype(_F32)).astype(jnp.bfloat16)
 
 
-def _split3_bf16(a: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    hi = a.astype(jnp.bfloat16)
-    r = a - hi.astype(_F32)
-    mid = r.astype(jnp.bfloat16)
-    lo = (r - mid.astype(_F32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+def _state_tri_parts(
+    at_bd: np.ndarray, d: int, nsec: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split a packed state propagator into lane-shift coefficient rows.
+
+    at_bd: [W, W] with band b's (transposed) A^block in the 16-lane block
+    [16b, 16b+16).  Requires each band's propagator to be EXACTLY block
+    lower-triangular over 2x2 section blocks (adjacent lane pairs) —
+    guaranteed by design.cascade_modal_state_space: powers of a block-
+    triangular matrix keep exact structural zeros.  Returns
+    (cka [8, W], ckb [8, W]) such that
+
+        s @ at_bd == sum_k  shift(s, 2k) * cka[k] + shift(sw, 2k) * ckb[k]
+
+    where shift(v, n)[l] = v[l-n] (band-masked) and sw = pair-swap(s):
+    dest lane l's section receives from section k-below's same-parity
+    lane via cka and its partner lane via ckb.
+    """
+    W = at_bd.shape[0]
+    cka = np.zeros((8, W), np.float32)
+    ckb = np.zeros((8, W), np.float32)
+    assert nsec <= 8, nsec
+    lane16 = np.arange(W) % _DP
+    for k in range(nsec):
+        ok = (lane16 < d) & (lane16 >= 2 * k)
+        (idx,) = np.nonzero(ok)
+        cka[k, idx] = at_bd[idx - 2 * k, idx]
+        ckb[k, idx] = at_bd[(idx - 2 * k) ^ 1, idx]
+    chk = np.zeros_like(at_bd)
+    for k in range(nsec):
+        ok = (lane16 < d) & (lane16 >= 2 * k)
+        (idx,) = np.nonzero(ok)
+        chk[idx - 2 * k, idx] += cka[k, idx]
+        chk[(idx - 2 * k) ^ 1, idx] += ckb[k, idx]
+    if not np.array_equal(chk, at_bd):
+        raise ValueError(
+            "state propagator is not exactly section-block-triangular; "
+            "build the band systems with design.cascade_modal_state_space"
+        )
+    return cka, ckb
 
 
 def _prepare_weights(op) -> tuple[np.ndarray, ...]:
     """Host-side pre-split packed weight stacks from a banked LTIBlockOp.
 
-    Band b's state occupies lanes [16b, 16b+16) of the packed 480-lane
-    state row; all maps are zero-padded so the pad lanes stay zero
-    through the recurrence.
+    Band b's state occupies lanes [16b, 16b+16) of the packed Wp-lane
+    state row (Wp = NB*16 padded up to a multiple of 128); all maps are
+    zero-padded so the pad lanes stay zero through the recurrence.
     """
     nb, blk, _ = op.kmat.shape
     d = op.d
     W = nb * _DP
+    Wp = -(-W // _BLK) * _BLK  # lane rotates need a 128-multiple row
     # K_all [128, NB*128]: y_all lanes grouped per band
     k_all = np.concatenate([op.kmat[b] for b in range(nb)], axis=1)
     kh, kl = _split_bf16_host(k_all)
@@ -109,25 +145,27 @@ def _prepare_weights(op) -> tuple[np.ndarray, ...]:
     sy = np.zeros((nb, _DP, _BLK), np.float32)
     sy[:, :d, :] = op.sy
     syh, syl = _split_bf16_host(sy)
-    # G_all [128, NB*16] (u @ g, all bands at once)
-    g_all = np.zeros((_BLK, W), np.float32)
+    # G_all [128, Wp] (u @ g, all bands at once)
+    g_all = np.zeros((_BLK, Wp), np.float32)
     for b in range(nb):
         g_all[:, b * _DP : b * _DP + d] = op.g[b]
     gh, gl = _split_bf16_host(g_all)
-    # At block-diagonal [W, W] (s_packed @ At_bd), 3-way split for 6-pass
-    at_bd = np.zeros((W, W), np.float32)
+    # At block-diagonal [Wp, Wp] -> exact lane-shift coefficient rows
+    at_bd = np.zeros((Wp, Wp), np.float32)
     for b in range(nb):
         at_bd[b * _DP : b * _DP + d, b * _DP : b * _DP + d] = op.at[b]
-    ath, atm, atl = _split3_bf16_host(at_bd)
-    return kh, kl, syh, syl, gh, gl, ath, atm, atl
+    assert d % 2 == 0, d
+    cka, ckb = _state_tri_parts(at_bd, d, d // 2)
+    return kh, kl, syh, syl, gh, gl, cka, ckb
 
 
-def _make_kernel(nblk: int, nb: int):
-    W = nb * _DP
+def _make_kernel(nblk: int, nb: int, Wp: int, d: int, smooth: str):
+    W3 = nb * _BLK
+    nsec = d // 2
 
     def kernel(x_ref, z0_ref, v0_ref,
                kh_ref, kl_ref, syh_ref, syl_ref, gh_ref, gl_ref,
-               ath_ref, atm_ref, atl_ref, omh_ref, oml_ref, pw_ref,
+               cka_ref, ckb_ref, sm0_ref, sm1_ref, pw_ref,
                zout_ref, vout_ref, pout_ref,
                s_scr, v_scr, p_scr):
         t = pl.program_id(1)
@@ -144,52 +182,89 @@ def _make_kernel(nblk: int, nb: int):
             ah, al = ahl
             return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
 
-        def dot6(ahml, bh, bm, bl):
-            # 6-pass ~ f32-exact: hh + (hm + mh) + (hl + mm + lh)
-            ah, am, al = ahml
-            return (
-                dot(ah, bh)
-                + (dot(ah, bm) + dot(am, bh))
-                + (dot(ah, bl) + dot(am, bm) + dot(al, bh))
-            )
-
         kh, kl = kh_ref[...], kl_ref[...]
         gh, gl = gh_ref[...], gl_ref[...]
-        ath, atm, atl = ath_ref[...], atm_ref[...], atl_ref[...]
-        omh, oml = omh_ref[...], oml_ref[...]
+        cka, ckb = cka_ref[...], ckb_ref[...]
         pw = pw_ref[...]  # [1, 128] (1-w)^{i+1}
+        r = x_ref.shape[0]
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (r, Wp), 1)
+        even_w = (lane_w % 2) == 0
+        lane16 = lane_w % _DP
+        # per-offset masks: dest lane must be a used state lane whose
+        # shift-source stays inside the SAME band's 16-lane group (a
+        # SELECT, not zero coefficients: a neighbouring band's saturated
+        # Inf state times 0.0 would mint NaNs)
+        sec_ok = [
+            (lane16 < d) & (lane16 >= 2 * kk) for kk in range(nsec)
+        ]
+        if smooth == "scan":
+            wrow = sm0_ref[...]       # [1, 3840] omega per lane
+            ck = sm1_ref[...]         # [8, 3840] masked (1-w)^{2^k} rows
+            lane128 = (
+                jax.lax.broadcasted_iota(jnp.int32, (r, W3), 1) % _BLK
+            )
+        else:
+            omh, oml = sm0_ref[...], sm1_ref[...]  # [128,128] bf16 splits
 
-        # lax.fori_loop (not a python unroll): each iteration's [R, NB*128]
-        # temporaries are ~2 MB — unrolling blew the 16 MB scoped-VMEM stack
         def block_step(j, carry):
             s, vcol, pk = carry
             xb = x_ref[:, pl.ds(j * _BLK, _BLK)]  # [R, 128]
             x_hl = _split_bf16(xb)
-            s_hml = _split3_bf16(s)
+            s_hl = _split_bf16(s)
             # one streamed conv for ALL bands; + per-band state response
-            # ((hi, mid) of the 3-way split == the 2-way split)
             y_all = dot3(x_hl, kh, kl)  # [R, NB*128]
             ys = [
                 dot3(
-                    (s_hml[0][:, b * _DP : (b + 1) * _DP],
-                     s_hml[1][:, b * _DP : (b + 1) * _DP]),
+                    (s_hl[0][:, b * _DP : (b + 1) * _DP],
+                     s_hl[1][:, b * _DP : (b + 1) * _DP]),
                     syh_ref[b], syl_ref[b],
                 )
                 for b in range(nb)
             ]
             sq_all = y_all + jnp.concatenate(ys, axis=1)
             sq_all = sq_all * sq_all  # [R, NB*128]
-            # state advance: block-diag 6-pass At + one G_all injection
-            s = dot6(s_hml, ath, atm, atl) + dot3(x_hl, gh, gl)
-            # smoother: back-to-back dots against the SAME traced operator
-            # (weight-stationary), then the exact-f32 carry correction
-            sq_hl = _split_bf16(sq_all)
+            # state advance: EXACT f32 on the VPU.  The cascade-modal At
+            # is block lower-triangular in 2x2 sections, so s @ At is a
+            # sum of 2k-lane-shifted FMAs — same-parity sources via
+            # shifts of s, opposite-parity via shifts of the pair-swap
+            # sw — plus one 3-pass G_all injection.
+            sw = jnp.where(
+                even_w,
+                pltpu.roll(s, Wp - 1, 1),  # even lane l takes s[l+1]
+                pltpu.roll(s, 1, 1),       # odd lane l takes s[l-1]
+            )
+            acc = dot3(x_hl, gh, gl)
+            for kk in range(nsec):
+                sk = s if kk == 0 else pltpu.roll(s, 2 * kk, 1)
+                swk = sw if kk == 0 else pltpu.roll(sw, 2 * kk, 1)
+                con = sk * cka[kk : kk + 1, :] + swk * ckb[kk : kk + 1, :]
+                acc = acc + jnp.where(sec_ok[kk], con, 0.0)
+            s = acc
+            if smooth == "scan":
+                # exact-f32 one-pole prefix over each band's 128 lanes:
+                # v[i] = w*sq[i] + (1-w) v[i-1]  via log-doubling rolls;
+                # ck rows carry the group mask folded into (1-w)^{2^k}.
+                # The boundary mask must be a SELECT, not the ck zeros
+                # alone: rolls cross band groups, and a neighbouring
+                # band's legitimate Inf (low bands saturate exactly as
+                # the XLA path does) times a zero coefficient would mint
+                # NaNs that poison this band's peak max.
+                v = sq_all * wrow
+                for kk in range(_SCAN_STEPS):
+                    sh = 1 << kk
+                    contrib = pltpu.roll(v, sh, 1) * ck[kk : kk + 1, :]
+                    v = v + jnp.where(lane128 >= sh, contrib, 0.0)
+            else:
+                sq_hl = _split_bf16(sq_all)
             nv = []
             np_ = []
             for b in range(nb):
                 sl = slice(_BLK * b, _BLK * (b + 1))
-                vs = dot3((sq_hl[0][:, sl], sq_hl[1][:, sl]), omh, oml)
-                vs = vs + vcol[:, b : b + 1] * pw  # [R, 128]
+                if smooth == "scan":
+                    vs = v[:, sl] + vcol[:, b : b + 1] * pw
+                else:
+                    vs = dot3((sq_hl[0][:, sl], sq_hl[1][:, sl]), omh, oml)
+                    vs = vs + vcol[:, b : b + 1] * pw  # [R, 128]
                 nv.append(vs[:, _BLK - 1 : _BLK])
                 np_.append(jnp.max(vs, axis=1, keepdims=True))
             pad = vcol.shape[1] - nb
@@ -221,7 +296,7 @@ def _pick_tile(n: int, options):
 
 
 def smoother_op(omega, dtype=jnp.float32):
-    """Traced one-pole display-smoother block operator for the kernel.
+    """Traced one-pole display-smoother block operator (gemm mode).
 
     Returns (ksm [128,128] with ksm[j,i] = w(1-w)^{i-j} for i>=j, so the
     smoothed series is sq @ ksm + v_in * pw; pw [1,128] = (1-w)^{i+1}) —
@@ -236,6 +311,30 @@ def smoother_op(omega, dtype=jnp.float32):
     return ksm, pw
 
 
+def smoother_scan_rows(omega, nb: int, dtype=jnp.float32):
+    """Traced per-lane coefficient rows for the scan-mode smoother.
+
+    Returns (wrow [1, nb*128], ck [8, nb*128], pw [1, 128]): wrow is the
+    omega splat, ck[k] is (1-w)^{2^k} masked to zero on lanes whose roll
+    source would cross a 128-lane band-group boundary, pw the carry
+    powers (1-w)^{i+1}.
+    """
+    om = jnp.asarray(omega, dtype)
+    l1 = jnp.log1p(-om)
+    lane = jnp.arange(_BLK, dtype=jnp.int32)
+    rows = []
+    for k in range(_SCAN_STEPS):
+        sh = 1 << k
+        rows.append(
+            jnp.where(lane >= sh, jnp.exp(sh * l1), jnp.zeros((), dtype))
+        )
+    rows.append(jnp.zeros(_BLK, dtype))  # pad to 8 sublanes
+    ck = jnp.tile(jnp.stack(rows), (1, nb))  # [8, nb*128]
+    wrow = jnp.tile(jnp.broadcast_to(om, (_BLK,)), nb)[None, :]
+    pw = jnp.exp((jnp.arange(_BLK, dtype=dtype) + 1) * l1)[None, :]
+    return wrow, ck, pw
+
+
 def fused_core(
     x: jax.Array,
     z0: jax.Array,
@@ -246,6 +345,7 @@ def fused_core(
     interpret: bool = False,
     r_tile: int | None = None,
     k: int | None = None,
+    smooth: str | None = None,
 ):
     """Fused band-filter + square + smoother + peak over one block.
 
@@ -254,21 +354,34 @@ def fused_core(
       z0:    [B, NB, d] banked filter state.
       v0:    [B, NB] smoother value state (the meter's `val`).
       omega: traced scalar smoother coefficient.
-      op:    banked ops.lti.LTIBlockOp at block=128 (numpy leaves).
+      op:    banked ops.lti.LTIBlockOp at block=128 (numpy leaves) whose
+             band systems are exact section-block-triangular cascades
+             (design.cascade_modal_state_space; _prepare_weights raises
+             otherwise).
+      smooth: 'scan' (default; exact-f32 VPU prefix scan) or 'gemm'
+             (3-pass bf16 Toeplitz dots); METERS_TPU_SPECTRUM_SMOOTH
+             overrides.
 
     Returns (val [B, NB], peak [B, NB], zf [B, NB, d]): end-of-block
     smoothed value, the block's peak of the smoothed series (combine with
     the carried peak outside), and the filter state.
     """
+    import os
+
     B, T = x.shape
     NB = op.kmat.shape[0]
     d = op.d
     W = NB * _DP
+    Wp = -(-W // _BLK) * _BLK
     VP = 32  # val/peak lane padding
     assert T % _BLK == 0 and z0.shape[-2:] == (NB, d) and NB <= VP
+    if smooth is None:
+        smooth = os.environ.get("METERS_TPU_SPECTRUM_SMOOTH", "scan")
+    assert smooth in ("scan", "gemm"), smooth
 
     # packed states: band b in lanes [16b, 16b+16)
     zp = jnp.pad(z0, ((0, 0), (0, 0), (0, _DP - d))).reshape(B, W)
+    zp = jnp.pad(zp, ((0, 0), (0, Wp - W)))
     vp = jnp.pad(v0, ((0, 0), (0, VP - NB)))
 
     rpad = (-B) % 8
@@ -293,8 +406,12 @@ def fused_core(
     grid = (Bp // r_tile, nt)
 
     weights = tuple(jnp.asarray(w) for w in _prepare_weights(op))
-    ksm, pw = smoother_op(omega, jnp.float32)
-    omh, oml = _split_bf16(ksm)
+    if smooth == "scan":
+        wrow, ck, pw = smoother_scan_rows(omega, NB, jnp.float32)
+        sm0, sm1 = wrow, ck
+    else:
+        ksm, pw = smoother_op(omega, jnp.float32)
+        sm0, sm1 = _split_bf16(ksm)
 
     vm = pltpu.VMEM
     cmap2 = lambda r, t: (0, 0)
@@ -308,42 +425,42 @@ def fused_core(
         ))
 
     zout, vout, pout = pl.pallas_call(
-        _make_kernel(k, NB),
+        _make_kernel(k, NB, Wp, d, smooth),
         grid=grid,
         in_specs=[
             pl.BlockSpec((r_tile, t_tile), lambda r, t: (r, t),
                          memory_space=vm),
-            pl.BlockSpec((r_tile, W), smap, memory_space=vm),
+            pl.BlockSpec((r_tile, Wp), smap, memory_space=vm),
             pl.BlockSpec((r_tile, VP), smap, memory_space=vm),
             *wspecs,
-            pl.BlockSpec(ksm.shape, cmap2, memory_space=vm),
-            pl.BlockSpec(ksm.shape, cmap2, memory_space=vm),
+            pl.BlockSpec(sm0.shape, cmap2, memory_space=vm),
+            pl.BlockSpec(sm1.shape, cmap2, memory_space=vm),
             pl.BlockSpec(pw.shape, cmap2, memory_space=vm),
         ],
         out_specs=(
-            pl.BlockSpec((r_tile, W), smap, memory_space=vm),
+            pl.BlockSpec((r_tile, Wp), smap, memory_space=vm),
             pl.BlockSpec((r_tile, VP), smap, memory_space=vm),
             pl.BlockSpec((r_tile, VP), smap, memory_space=vm),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, W), _F32),
+            jax.ShapeDtypeStruct((Bp, Wp), _F32),
             jax.ShapeDtypeStruct((Bp, VP), _F32),
             jax.ShapeDtypeStruct((Bp, VP), _F32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((r_tile, W), _F32),
+            pltpu.VMEM((r_tile, Wp), _F32),
             pltpu.VMEM((r_tile, VP), _F32),
             pltpu.VMEM((r_tile, VP), _F32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * T * NB * 3 * (2 * _BLK + 3 * _DP),
-            bytes_accessed=Bp * T * 4 + Bp * (W + 2 * VP) * 8,
+            flops=2 * Bp * T * NB * 3 * (_BLK + _DP + _BLK // 8),
+            bytes_accessed=Bp * T * 4 + Bp * (Wp + 2 * VP) * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, zp, vp, *weights, omh, oml, pw)
+    )(x, zp, vp, *weights, sm0, sm1, pw)
 
-    zf = zout.reshape(Bp, NB, _DP)[:, :, :d]
+    zf = zout[:, :W].reshape(Bp, NB, _DP)[:, :, :d]
     val = vout[:, :NB]
     peak = pout[:, :NB]
     if rpad:

@@ -346,3 +346,56 @@ def test_stft_update_stereo_matches_update():
         np.asarray(ph2)[mask], np.asarray(ph1)[mask], atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(s2.tail), np.asarray(s1.tail))
+
+
+def test_gemm_rfft_matches_numpy():
+    """ops.fft.GemmRFFT (the MXU-factored transform the TPU path uses)
+    against numpy's rfft at several sizes."""
+    from meters_lv2_tpu.ops.fft import GemmRFFT
+
+    rng = np.random.RandomState(7)
+    for n in (512, 2048, 8192):
+        x = rng.randn(2, 3, n).astype(np.float32)
+        re, im = jax.jit(GemmRFFT(n))(jnp.asarray(x))
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(
+            np.asarray(re), ref.real[..., : n // 2], atol=2e-6 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(im), ref.imag[..., : n // 2], atol=2e-6 * scale
+        )
+
+
+def test_stft_gemm_path_matches_fft_path():
+    """STFT analysis through the forced-GEMM transform == the rfft path
+    (power in relative terms, phase where power is non-negligible)."""
+    import os
+
+    from meters_lv2_tpu.ops import fft as fft_ops
+    from signals import make_signal
+
+    st = fft_ops.STFT(48000, 8192, 25.0, "hann")
+    x = make_signal("mix", 1.0)[0][: st.hop * 20]
+    s0 = st.init(())
+    old = os.environ.get("METERS_TPU_STFT_GEMM")
+    try:
+        os.environ["METERS_TPU_STFT_GEMM"] = "0"
+        p_ref, ph_ref, _ = jax.jit(st.update)(s0, jnp.asarray(x))
+        st._gemm = None
+        os.environ["METERS_TPU_STFT_GEMM"] = "1"
+        p_g, ph_g, _ = jax.jit(st.update)(s0, jnp.asarray(x))
+    finally:
+        if old is None:
+            del os.environ["METERS_TPU_STFT_GEMM"]
+        else:
+            os.environ["METERS_TPU_STFT_GEMM"] = old
+    p_ref, p_g = np.asarray(p_ref), np.asarray(p_g)
+    scale = p_ref.max()
+    # both transforms are f32; near-zero bins differ at the f32 noise
+    # floor of the frame energy
+    np.testing.assert_allclose(p_g, p_ref, rtol=1e-3, atol=1e-8 * scale)
+    sig = p_ref > 1e-7 * scale
+    dph = np.abs(np.asarray(ph_g) - np.asarray(ph_ref))
+    dph = np.minimum(dph, 2 * np.pi - dph)
+    assert dph[sig].max() < 1e-3, dph[sig].max()
