@@ -194,19 +194,18 @@ class STFT:
     def _rfft_halves(self, frames: jax.Array) -> tuple[jax.Array, jax.Array]:
         """(re, im) of the first data_size rfft bins of [..., W] frames.
 
-        METERS_TPU_STFT_GEMM selects the transform: '1' forces the
-        two-stage GEMM DFT (ops.fft.GemmRFFT), '0' forces jnp.fft.rfft,
-        default 'auto' = GEMM on TPU (where XLA's FFT lowering leaves
-        the MXU idle; measured in docs/BENCHMARKS.md), rfft elsewhere.
+        METERS_TPU_STFT_GEMM selects the transform: '1' opts into the
+        two-stage GEMM DFT (ops.fft.GemmRFFT); default '0' uses
+        jnp.fft.rfft (measured faster AND tighter on-chip — see the
+        comment below).
         """
-        mode = os.environ.get("METERS_TPU_STFT_GEMM", "auto")
-        use_gemm = (
-            mode == "1"
-            or (
-                mode == "auto"
-                and jax.default_backend() in ("tpu", "axon")
-            )
-        ) and self.window_size % 4 == 0
+        # default is rfft everywhere: the GEMM variant measured SLOWER
+        # through the tunnel (phasewheel 15.9 vs 13.2 ms at 64x1s) and
+        # its 3-pass bf16 passes miss the repo's 2e-4 on-chip STFT power
+        # parity bar (0.0018 rel) — docs/BENCHMARKS.md round 4.  Kept as
+        # an opt-in for re-measurement on locally-attached hardware.
+        mode = os.environ.get("METERS_TPU_STFT_GEMM", "0")
+        use_gemm = mode == "1" and self.window_size % 4 == 0
         if use_gemm:
             if self._gemm is None:
                 self._gemm = GemmRFFT(self.window_size, self.dtype)

@@ -40,12 +40,17 @@ Layout (v4 — band-PACKED, MODAL VPU state chain): grid is
     clustered high-Q poles pushes exactified eigenvalues outside the
     unit circle (the ~1e-13 off-block couplings of the numeric
     similarity are load-bearing).
-  * smoother (two variants, METERS_TPU_SPECTRUM_SMOOTH=scan|gemm):
-    - scan (default): exact-f32 log-doubling one-pole prefix scan over
-      the 128 lanes of each band group (7 masked roll-FMA steps on the
-      whole [r, 3840] row), then per-band carry add + max.
-    - gemm: per-band 3-pass bf16 dots against a traced [128,128] one-pole
-      Toeplitz operator (the v2 formulation), weight-stationary.
+  * smoother (two variants, METERS_TPU_SPECTRUM_SMOOTH=gemm|scan):
+    - gemm (default): per-band 3-pass bf16 dots against a traced
+      [128,128] one-pole Toeplitz operator (the v2 formulation),
+      weight-stationary.  Measured 7.82 ms at B=256 x 1 s (32.7k x rt).
+    - scan: exact-f32 log-doubling one-pole prefix scan over the 128
+      lanes of each band group (7 masked roll-FMA steps on the whole
+      [r, 3840] row), then per-band carry add + max.  Measured SLOWER
+      (15.2 ms): Mosaic lane rolls on [64, 3840] are relayout-grade
+      (~0.9 us per roll+FMA step), so 7 x 375 of them swamp the 1.8 ms
+      GEMM they replace.  Kept for narrow-parity experiments (it is
+      exact f32).
 
 Precision: Mosaic lowers plain f32 dots to ONE bf16 pass, so the
 feed-forward conv/Sy/G GEMMs run as manual 3-pass bf16 splits (== XLA
@@ -358,9 +363,9 @@ def fused_core(
              band systems are exact section-block-triangular cascades
              (design.cascade_modal_state_space; _prepare_weights raises
              otherwise).
-      smooth: 'scan' (default; exact-f32 VPU prefix scan) or 'gemm'
-             (3-pass bf16 Toeplitz dots); METERS_TPU_SPECTRUM_SMOOTH
-             overrides.
+      smooth: 'gemm' (default; 3-pass bf16 Toeplitz dots — measured
+             faster) or 'scan' (exact-f32 VPU prefix scan);
+             METERS_TPU_SPECTRUM_SMOOTH overrides.
 
     Returns (val [B, NB], peak [B, NB], zf [B, NB, d]): end-of-block
     smoothed value, the block's peak of the smoothed series (combine with
@@ -376,7 +381,7 @@ def fused_core(
     VP = 32  # val/peak lane padding
     assert T % _BLK == 0 and z0.shape[-2:] == (NB, d) and NB <= VP
     if smooth is None:
-        smooth = os.environ.get("METERS_TPU_SPECTRUM_SMOOTH", "scan")
+        smooth = os.environ.get("METERS_TPU_SPECTRUM_SMOOTH", "gemm")
     assert smooth in ("scan", "gemm"), smooth
 
     # packed states: band b in lanes [16b, 16b+16)

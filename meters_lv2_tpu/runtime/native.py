@@ -27,6 +27,12 @@ METER_KINDS = {
     "msppm": 8,
     "sigdist": 9,
     "bitmeter": 10,
+    "dr14": 11,
+    "tpnrms": 12,
+    "gonio": 13,  # nchan argument carries the oversample factor (1/2/4/8)
+    "phasewheel": 14,
+    "stereoscope": 15,
+    "surround": 16,
 }
 
 _lib = None
@@ -195,9 +201,11 @@ class NativeEngine:
             raise RuntimeError(f"process failed: {rc}")
 
     def read(self) -> np.ndarray:
-        out = np.zeros(64, np.float64)
+        # 8193 doubles covers the largest readout (phasewheel: 1 + 2*4096)
+        cap = 8193
+        out = np.zeros(cap, np.float64)
         n = self._lib.mt_engine_read(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), 64
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap
         )
         if n < 0:
             raise RuntimeError(f"read failed: {n}")

@@ -22,21 +22,33 @@ constexpr int kHl = 24;  // true-peak polyphase half-length
 // windowed sinc table h(t) = sinc(t) * (0.384 + 0.5 cos(pi t/hl) +
 // 0.116 cos(2 pi t/hl)); 4-phase interpolation taps, phase ph tap i
 // applies to x[t - 2*hl + 1 + i].
+// Generic polyphase interpolation taps: phase ph tap i applies to
+// x[t - 2*hl + 1 + i]; h(t) = sinc(t) * (0.384 + 0.5 cos(pi t/hl) +
+// 0.116 cos(2 pi t/hl)).
+static std::vector<float> make_poly_taps(int factor, int hl) {
+  std::vector<float> taps((size_t)factor * 2 * hl);
+  for (int ph = 0; ph < factor; ++ph) {
+    for (int i = 0; i < 2 * hl; ++i) {
+      double t = (hl - 1 - i) + (double)ph / factor;
+      double a = std::fabs(t);
+      double sinc = a < 1e-9 ? 1.0 : std::sin(M_PI * a) / (M_PI * a);
+      double w = 0.0;
+      double u = std::fabs(t / hl);
+      if (u < 1.0)
+        w = 0.384 + 0.5 * std::cos(M_PI * u) + 0.116 * std::cos(2 * M_PI * u);
+      taps[(size_t)ph * 2 * hl + i] = (float)(sinc * w);
+    }
+  }
+  return taps;
+}
+
 struct PolyTaps {
   float taps[4][2 * kHl];
   PolyTaps() {
-    for (int ph = 0; ph < 4; ++ph) {
-      for (int i = 0; i < 2 * kHl; ++i) {
-        double t = (kHl - 1 - i) + ph / 4.0;
-        double a = std::fabs(t);
-        double sinc = a < 1e-9 ? 1.0 : std::sin(M_PI * a) / (M_PI * a);
-        double w = 0.0;
-        double u = std::fabs(t / kHl);
-        if (u < 1.0)
-          w = 0.384 + 0.5 * std::cos(M_PI * u) + 0.116 * std::cos(2 * M_PI * u);
-        taps[ph][i] = (float)(sinc * w);
-      }
-    }
+    std::vector<float> t = make_poly_taps(4, kHl);
+    for (int ph = 0; ph < 4; ++ph)
+      std::memcpy(taps[ph], t.data() + (size_t)ph * 2 * kHl,
+                  2 * kHl * sizeof(float));
   }
 };
 const PolyTaps& poly_taps() {
@@ -161,6 +173,179 @@ static void design_band(SpectrumBand* bd, double rate, double freq,
   bd->b2[0] *= scale;
 }
 
+// ---- DR-14 (src/dr14.c:396-445 semantics; see models/dr14.py) -------------
+
+struct Dr14Chan {
+  double rms_sum = 0;        // open 3 s window sum of squares
+  float peak_cur = 0;        // open window signed-sample peak (floor 0)
+  double top2[2] = {0, 0};   // two highest counted-window peaks
+  std::vector<uint32_t> hist;  // 8000-bin 0.01 dB histogram
+  double m_dbtp = 0;         // accumulated max dBTP
+};
+
+struct Dr14State {
+  long win = 0;   // n_sample_cnt = 3*fs (window spans win+1 samples)
+  long scnt = 0;
+  long num_windows = 0;
+  std::vector<Dr14Chan> ch;
+};
+
+// ---- goniometer (gui/goniometer.c:299-538; models/goniometer.py) ----------
+
+struct GonioState {
+  int os = 4;
+  static const int hl = 12;
+  std::vector<float> taps;     // os phases x 2*hl
+  std::vector<float> hist[2];  // 2*hl-1 input history per channel
+  double lp[2] = {0, 0};
+  double gain = 1.0;
+  double hpw = 0, attack_pow = 0, decay_pow = 0, g_rms = 0, g_target = 0;
+  // read-and-reset trace extrema + last point
+  double xmin = 0, xmax = 0, ymin = 0, ymax = 0, lastx = 0, lasty = 0;
+  bool have = false;
+};
+
+// ---- STFT display analyzers (gui/fft.c + phasewheel.c/stereoscope.c) ------
+
+// in-place complex radix-2 FFT, double precision
+static void fft_cplx(std::vector<double>& re, std::vector<double>& im) {
+  const size_t n = re.size();
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      std::swap(re[i], re[j]);
+      std::swap(im[i], im[j]);
+    }
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = -2.0 * M_PI / (double)len;
+    const double wr = std::cos(ang), wi = std::sin(ang);
+    for (size_t i = 0; i < n; i += len) {
+      double cr = 1, ci = 0;
+      for (size_t k = 0; k < len / 2; ++k) {
+        double ur = re[i + k], ui = im[i + k];
+        double br = re[i + k + len / 2], bi = im[i + k + len / 2];
+        double vr = br * cr - bi * ci;
+        double vi = br * ci + bi * cr;
+        re[i + k] = ur + vr;
+        im[i + k] = ui + vi;
+        re[i + k + len / 2] = ur - vr;
+        im[i + k + len / 2] = ui - vi;
+        double ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr;
+        cr = ncr;
+      }
+    }
+  }
+}
+
+struct StftState {
+  static const int W = 8192, D = 4096;
+  int hop = 0;
+  long cnt = 0;  // absolute samples consumed
+  std::vector<float> ring[2];
+  long pos = 0;  // next write index
+  std::vector<double> win;  // hann, sum = 2
+  bool scope = false;       // stereoscope vs phasewheel
+  // phasewheel: last frame dphi/level + smoothed display peak
+  std::vector<double> dphi, level;
+  double peak = 0;
+  // stereoscope: smoothed per-bin lr position / level
+  std::vector<double> lr, slevel;
+
+  void init(float fs, bool is_scope) {
+    scope = is_scope;
+    hop = (int)std::ceil(fs / 25.0);
+    ring[0].assign(W, 0.f);
+    ring[1].assign(W, 0.f);
+    win.resize(W);
+    double s = 0;
+    for (int i = 0; i < W; ++i) {
+      win[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (W - 1.0));
+      s += win[i];
+    }
+    for (int i = 0; i < W; ++i) win[i] *= 2.0 / s;
+    if (scope) {
+      lr.assign(D, 0.5);
+      slevel.assign(D, 0.0);
+    } else {
+      dphi.assign(D, 0.0);
+      level.assign(D, -100.0);
+    }
+  }
+
+  void analyze() {
+    std::vector<double> pw[2], ph[2];
+    for (int c = 0; c < 2; ++c) {
+      std::vector<double> re(W), im(W, 0.0);
+      for (int i = 0; i < W; ++i)
+        re[i] = (double)ring[c][(pos + i) % W] * win[i];
+      fft_cplx(re, im);
+      pw[c].resize(D);
+      ph[c].resize(D);
+      for (int b = 0; b < D; ++b) {
+        pw[c][b] = re[b] * re[b] + im[b] * im[b];
+        ph[c][b] = std::atan2(im[b], re[b]);
+      }
+      pw[c][D - 1] = 0.0;
+      ph[c][0] = 0.0;
+      ph[c][D - 1] = 0.0;
+    }
+    if (!scope) {
+      const double thr = 1e-6;  // 10^(-60/10)
+      double fpk = 0;
+      for (int b = 0; b < D; ++b) {
+        bool ok = pw[0][b] >= thr && pw[1][b] >= thr;
+        double lv = std::fmax(pw[0][b], pw[1][b]);
+        dphi[b] = ok ? ph[1][b] - ph[0][b] : 0.0;
+        level[b] = ok ? lv : -100.0;
+        if (ok && lv > fpk) fpk = lv;
+      }
+      peak += 0.04 * (fpk - peak) + 1e-15;
+      if (std::isnan(peak)) peak = 0;
+      if (peak > 1000.0) peak = 1000.0;
+    } else {
+      const double thr = 1e-20;
+      for (int b = 0; b < D; ++b) {
+        double pl = pw[0][b], pr = pw[1][b];
+        bool ok = pl >= thr || pr >= thr;
+        double lv = std::fmax(pl, pr);
+        double pos_b = ok ? 0.5 + 0.5 * (std::sqrt(pr) - std::sqrt(pl)) /
+                                std::sqrt(std::fmax(lv, 1e-30))
+                          : 0.5;
+        if (ok) {
+          slevel[b] += 0.1 * (lv - slevel[b]) + 1e-20;
+          lr[b] += 0.1 * (pos_b - lr[b]) + 1e-10;
+        } else {
+          slevel[b] = 0.0;
+          lr[b] = 0.5;
+        }
+      }
+    }
+  }
+
+  void process(const float* L, const float* R, int64_t n) {
+    for (int64_t t = 0; t < n; ++t) {
+      ring[0][pos % W] = L[t];
+      ring[1][pos % W] = R[t];
+      pos = (pos + 1) % W;
+      if (++cnt % hop == 0) analyze();
+    }
+  }
+};
+
+// ---- surround (src/surmeter.c; models/surround.py) ------------------------
+
+struct SurState {
+  int npairs = 4;
+  int pa[4] = {0}, pb[4] = {0};
+  std::vector<double> zl;  // per-channel correlator lowpass
+  double zp[4][3] = {};
+  float w1 = 0, w2 = 0;
+};
+
 }  // namespace
 
 struct mt_engine {
@@ -179,6 +364,10 @@ struct mt_engine {
   SigDistState sig;
   BitState bit;
   BallState ms[2];  // mid/side ballistics
+  Dr14State dr;
+  GonioState gon;
+  StftState stft;
+  SurState sur;
 };
 
 static void design_kweight(mt_engine* e) {
@@ -264,6 +453,59 @@ extern "C" mt_engine* mt_engine_create(int kind, float fs, int nchan) {
       e->r128.hist_s.assign(751, 0);
       for (auto& c : e->ch) c.hist.assign(2 * kHl - 1, 0.f);
       break;
+    case MT_DR14:
+    case MT_TPNRMS:
+      // embedded display meters share the per-channel k-meter/true-peak
+      // state fields
+      e->omega = 9.72f / fs;
+      e->hold = (int)(0.5f * fs + 0.5f);
+      e->w1 = 4000.f / fs / 4; e->w2 = 17200.f / fs / 4;
+      e->w3 = 1.f - 7.f / fs / 4; e->gain = 0.502f;
+      for (auto& c : e->ch) c.hist.assign(2 * kHl - 1, 0.f);
+      e->dr.win = (long)std::lround(fs * 3.0);
+      e->dr.ch.resize(nchan);
+      if (kind == MT_DR14)
+        for (auto& c : e->dr.ch) c.hist.assign(8000, 0);
+      break;
+    case MT_GONIO: {
+      // nchan argument carries the oversample factor; engine is stereo
+      int os = nchan;
+      if (os != 1 && os != 2 && os != 4 && os != 8) { delete e; return nullptr; }
+      e->nchan = 2;
+      e->ch.resize(2);
+      GonioState& g = e->gon;
+      g.os = os;
+      if (os > 1) g.taps = make_poly_taps(os, GonioState::hl);
+      for (int c = 0; c < 2; ++c)
+        g.hist[c].assign(2 * GonioState::hl - 1, 0.f);
+      g.hpw = std::exp(-2.0 * M_PI * 20.0 / ((double)fs * os));
+      // default dials: attack 54, decay 58, rms 50, target 40
+      g.attack_pow = std::fmax(0.01, 0.1 * std::exp(0.06 * 54.0) - 0.09);
+      g.decay_pow = std::fmax(0.01, 0.1 * std::exp(0.06 * 58.0) - 0.09);
+      g.g_rms = 0.01 * 50.0;
+      g.g_target = std::fmax(0.15, std::exp(1.8 * (-0.02 * 40.0 + 1.0)));
+      break;
+    }
+    case MT_PHASEWHEEL:
+    case MT_STEREOSCOPE:
+      if (nchan != 2) { delete e; return nullptr; }
+      e->stft.init(fs, kind == MT_STEREOSCOPE);
+      break;
+    case MT_SURROUND: {
+      if (nchan < 3 || nchan > 8) { delete e; return nullptr; }
+      e->omega = 9.72f / fs;
+      e->hold = (int)(0.5f * fs + 0.5f);
+      SurState& s = e->sur;
+      s.npairs = nchan > 3 ? 4 : 3;
+      for (int p = 0; p < s.npairs; ++p) {
+        s.pa[p] = p % nchan;
+        s.pb[p] = (p + 1) % nchan;
+      }
+      s.zl.assign(nchan, 0.0);
+      s.w1 = 6.28f * 2000.f / fs;
+      s.w2 = 1.f / (0.3f * fs);
+      break;
+    }
     default:
       delete e;
       return nullptr;
@@ -502,6 +744,155 @@ static double r128_integrate(const std::vector<long>& h, int from) {
   return nn ? s / nn : NAN;
 }
 
+// ---- DR-14 window measurement (src/dr14.c:396-445; models/dr14.py) --------
+
+static void proc_dr_windows(mt_engine* e, const float* x, int64_t n) {
+  Dr14State& dr = e->dr;
+  const int C = e->nchan;
+  for (int64_t t = 0; t < n; ++t) {
+    for (int c = 0; c < C; ++c) {
+      float v = x[(int64_t)c * n + t];
+      Dr14Chan& ch = dr.ch[c];
+      ch.rms_sum += (double)v * v;
+      // MAX macro skips NaN; signed peak with floor 0 (dr14.c:404)
+      if (!std::isnan(v) && v > ch.peak_cur) ch.peak_cur = v;
+    }
+    if (++dr.scnt > dr.win) {  // window spans win+1 samples (dr14.c:404-410)
+      dr.scnt = 0;
+      const double thr = 1e-9 * (double)dr.win;
+      bool loud = false;
+      for (int c = 0; c < C; ++c)
+        if (dr.ch[c].rms_sum > thr) loud = true;  // gate across channels
+      if (loud) {
+        dr.num_windows++;
+        for (int c = 0; c < C; ++c) {
+          Dr14Chan& ch = dr.ch[c];
+          double rms = std::sqrt(2.0 * ch.rms_sum / (double)dr.win);
+          double db = rms < 1e-4 ? -80.0
+                                 : 20.0 * std::log10(std::fmax(rms, 1e-30));
+          long bin = std::lround(100.0 * (80.0 + db)) - 1;
+          if (bin > 7999) bin = 7999;
+          if (bin > 0) ch.hist[(size_t)bin]++;
+          if (ch.peak_cur >= ch.top2[0]) {
+            ch.top2[1] = ch.top2[0];
+            ch.top2[0] = ch.peak_cur;
+          } else if (ch.peak_cur > ch.top2[1]) {
+            ch.top2[1] = ch.peak_cur;
+          }
+          ch.peak_cur = 0;  // resets only at counted windows (dr14.c:329-343)
+        }
+      }
+      for (int c = 0; c < C; ++c) dr.ch[c].rms_sum = 0;
+    }
+  }
+}
+
+// ---- goniometer (gui/goniometer.c:299-538; models/goniometer.py) ----------
+
+static void proc_gonio(mt_engine* e, const float* x, int64_t n) {
+  GonioState& g = e->gon;
+  const int hl = GonioState::hl;
+  const int H = 2 * hl - 1;
+  const int os = g.os;
+  std::vector<double> lr2[2];
+  for (int c = 0; c < 2; ++c) {
+    const float* p = x + (int64_t)c * n;
+    std::vector<double>& o = lr2[c];
+    o.resize((size_t)os * n);
+    if (os == 1) {
+      for (int64_t t = 0; t < n; ++t) o[t] = p[t];
+    } else {
+      std::vector<float> buf(H + n);
+      std::memcpy(buf.data(), g.hist[c].data(), H * sizeof(float));
+      std::memcpy(buf.data() + H, p, n * sizeof(float));
+      for (int64_t t = 0; t < n; ++t) {
+        const float* w = buf.data() + t;
+        for (int ph = 0; ph < os; ++ph) {
+          float acc = 0.f;
+          const float* tap = g.taps.data() + (size_t)ph * 2 * hl;
+          for (int i = 0; i < 2 * hl; ++i) acc += w[i] * tap[i];
+          o[(size_t)os * t + ph] = acc;
+        }
+      }
+      std::memcpy(g.hist[c].data(), buf.data() + n, H * sizeof(float));
+    }
+    // reference's "high pass" one-pole tracker used directly as the trace
+    double lp = g.lp[c];
+    for (size_t i = 0; i < o.size(); ++i) {
+      lp += g.hpw * (o[i] - lp) + 1e-12;
+      o[i] = lp;
+    }
+    g.lp[c] = lp;
+  }
+  // rotate to (L-R, L+R), block extrema + trailing point
+  double xmn = INFINITY, xmx = -INFINITY, ymn = INFINITY, ymx = -INFINITY;
+  double sl = 0, sr = 0;
+  const size_t m = lr2[0].size();
+  for (size_t i = 0; i < m; ++i) {
+    double ax = lr2[0][i] - lr2[1][i], ay = lr2[0][i] + lr2[1][i];
+    if (ax < xmn) xmn = ax;
+    if (ax > xmx) xmx = ax;
+    if (ay < ymn) ymn = ay;
+    if (ay > ymx) ymx = ay;
+    sl += lr2[0][i] * lr2[0][i];
+    sr += lr2[1][i] * lr2[1][i];
+    g.lastx = ax;
+    g.lasty = ay;
+  }
+  if (!g.have) {
+    g.xmin = xmn; g.xmax = xmx; g.ymin = ymn; g.ymax = ymx; g.have = true;
+  } else {
+    g.xmin = std::fmin(g.xmin, xmn); g.xmax = std::fmax(g.xmax, xmx);
+    g.ymin = std::fmin(g.ymin, ymn); g.ymax = std::fmax(g.ymax, ymx);
+  }
+  // autogain, one step per block (gui/goniometer.c:497-537)
+  double mx = std::sqrt((xmx - xmn) * (xmx - xmn) + (ymx - ymn) * (ymx - ymn)) *
+              0.707;
+  double rms = 5.436 * std::sqrt(std::fmax(sl, sr) / (double)m);
+  if (g.g_rms > 0) mx = mx * (1.0 - g.g_rms) + rms * g.g_rms;
+  mx *= g.g_target;
+  if (!std::isfinite(mx)) mx = 0;
+  double tgt = mx < 0.01 ? 100.0
+                         : (mx > 100.0 ? 0.02 : 2.0 / std::fmax(mx, 1e-6));
+  double elapsed = (double)n / e->fs;
+  double att = tgt < g.gain
+                   ? g.attack_pow * (0.31 + 0.1 * std::log10(elapsed))
+                   : g.decay_pow * (0.03 + 0.007 * std::log(elapsed));
+  g.gain = std::fmax(g.gain + att * (tgt - g.gain), 0.001);
+}
+
+// ---- surround (src/surmeter.c:119-128; models/surround.py) ----------------
+
+static void proc_surround(mt_engine* e, const float* x, int64_t n) {
+  proc_kmeter(e, x, n);
+  SurState& s = e->sur;
+  const int C = e->nchan;
+  for (int64_t t = 0; t < n; ++t) {
+    for (int c = 0; c < C; ++c) {
+      float v = x[(int64_t)c * n + t];
+      s.zl[c] += s.w1 * (v - s.zl[c]) + 1e-20;
+    }
+    for (int p = 0; p < s.npairs; ++p) {
+      double a = s.zl[s.pa[p]], b = s.zl[s.pb[p]];
+      s.zp[p][0] += s.w2 * (a * b - s.zp[p][0]);
+      s.zp[p][1] += s.w2 * (a * a - s.zp[p][1]);
+      s.zp[p][2] += s.w2 * (b * b - s.zp[p][2]);
+    }
+  }
+  for (int c = 0; c < C; ++c)
+    if (!std::isfinite(s.zl[c])) s.zl[c] = 0;
+  for (int p = 0; p < s.npairs; ++p)
+    for (int k = 0; k < 3; ++k) {
+      if (!std::isfinite(s.zp[p][k])) s.zp[p][k] = 0;
+      s.zp[p][k] += 1e-10;  // per-block denormal offset (stcorrdsp.cc:65-76)
+    }
+}
+
+// coeff -> dB readout (src/dr14.c:233-236)
+static double coeff_db(double c) {
+  return c < 1e-4 ? -80.0 : 20.0 * std::log10(std::fmax(c, 1e-30));
+}
+
 // ---- dispatch -------------------------------------------------------------
 
 extern "C" int mt_engine_process(mt_engine* e, const float* data, int64_t n) {
@@ -606,6 +997,22 @@ extern "C" int mt_engine_process(mt_engine* e, const float* data, int64_t n) {
         if (!std::isfinite(sp.band[i].val)) sp.band[i].val = 0;
       return 0;
     }
+    case MT_DR14:
+    case MT_TPNRMS:
+      proc_kmeter(e, data, n);    // display RMS meters
+      proc_truepeak(e, data, n);  // display dBTP meters
+      if (e->kind == MT_DR14) proc_dr_windows(e, data, n);
+      return 0;
+    case MT_GONIO:
+      proc_gonio(e, data, n);
+      return 0;
+    case MT_PHASEWHEEL:
+    case MT_STEREOSCOPE:
+      e->stft.process(data, data + n, n);
+      return 0;
+    case MT_SURROUND:
+      proc_surround(e, data, n);
+      return 0;
   }
   return -3;
 }
@@ -717,6 +1124,113 @@ extern "C" int mt_engine_read(mt_engine* e, double* out, int maxn) {
       out[6] = hi;
       out[7] = r.dbtp;
       return 8;
+    }
+    case MT_DR14: {
+      const int need = 5 * e->nchan + 2;
+      if (maxn < need) return -2;
+      Dr14State& dr = e->dr;
+      const long nf = dr.num_windows;
+      double dr_sum = 0;
+      int nvalid = 0;
+      for (int c = 0; c < e->nchan; ++c) {
+        ChanState& s = e->ch[c];
+        Dr14Chan& ch = dr.ch[c];
+        double m_dbtp = std::fmax(ch.m_dbtp, (double)s.tp_p);
+        ch.m_dbtp = m_dbtp;  // accumulated max dBTP (dr14.c:480)
+        out[5 * c + 0] = coeff_db(s.krms);
+        out[5 * c + 1] = coeff_db(s.tp_m);
+        out[5 * c + 2] = coeff_db(m_dbtp);
+        // top-20% RMS score over the 0.01 dB histogram (dr14.c:447-516):
+        // include whole bins from the top until >= ceil(nf/5) samples
+        long m_cut = std::max(1L, (long)std::floor(nf / 5.0));
+        double score = 0;
+        long n_cut = 0, cum = 0;
+        for (int b = 7999; b >= 1 && cum < m_cut; --b) {
+          long cnt = ch.hist[(size_t)b];
+          double cd = std::pow(10.0, 0.05 * (double)(b - 7999) / 100.0);
+          score += cnt * cd * cd;
+          n_cut += cnt;
+          cum += cnt;
+        }
+        double rms_db =
+            (n_cut > 0 && nf > 2)
+                ? coeff_db(std::sqrt(score / (double)std::max(n_cut, 1L)))
+                : -81.0;
+        double peak_db = nf > 2 ? coeff_db(ch.top2[1]) : -81.0;
+        out[5 * c + 3] = rms_db;
+        bool both = rms_db > -80.0 && peak_db > -80.0;
+        double dr_raw = std::fmin(0.0, peak_db) - rms_db;
+        out[5 * c + 4] = both ? std::fmin(std::fmax(dr_raw, 1.0), 20.0) : 21.0;
+        if (both) {
+          dr_sum += dr_raw;
+          nvalid++;
+        }
+        s.kflag = true;
+        s.tp_res = true;
+      }
+      out[5 * e->nchan] =
+          nvalid ? std::fmin(std::fmax(dr_sum / nvalid, 1.0), 20.0) : 21.0;
+      out[5 * e->nchan + 1] = 3.0 * (double)nf;
+      return need;
+    }
+    case MT_TPNRMS: {
+      const int need = 4 * e->nchan;
+      if (maxn < need) return -2;
+      for (int c = 0; c < e->nchan; ++c) {
+        ChanState& s = e->ch[c];
+        Dr14Chan& ch = e->dr.ch[c];
+        double m_dbtp = std::fmax(ch.m_dbtp, (double)s.tp_p);
+        ch.m_dbtp = m_dbtp;
+        out[4 * c + 0] = coeff_db(s.krms);
+        out[4 * c + 1] = coeff_db(s.tp_m);
+        out[4 * c + 2] = coeff_db(m_dbtp);
+        out[4 * c + 3] = coeff_db(s.kpeak);
+        s.kflag = true;
+        s.tp_res = true;
+      }
+      return need;
+    }
+    case MT_GONIO: {
+      if (maxn < 7) return -2;
+      GonioState& g = e->gon;
+      out[0] = g.gain;
+      out[1] = g.have ? g.xmin : 0.0;
+      out[2] = g.have ? g.xmax : 0.0;
+      out[3] = g.have ? g.ymin : 0.0;
+      out[4] = g.have ? g.ymax : 0.0;
+      out[5] = g.lastx;
+      out[6] = g.lasty;
+      g.have = false;  // extrema are read-and-reset
+      return 7;
+    }
+    case MT_PHASEWHEEL: {
+      const int D = StftState::D;
+      if (maxn < 1 + 2 * D) return -2;
+      out[0] = e->stft.peak;
+      for (int b = 0; b < D; ++b) out[1 + b] = e->stft.dphi[b];
+      for (int b = 0; b < D; ++b) out[1 + D + b] = e->stft.level[b];
+      return 1 + 2 * D;
+    }
+    case MT_STEREOSCOPE: {
+      const int D = StftState::D;
+      if (maxn < 2 * D) return -2;
+      for (int b = 0; b < D; ++b) out[b] = e->stft.lr[b];
+      for (int b = 0; b < D; ++b) out[D + b] = e->stft.slevel[b];
+      return 2 * D;
+    }
+    case MT_SURROUND: {
+      SurState& s = e->sur;
+      const int need = 2 * e->nchan + s.npairs;
+      if (maxn < need) return -2;
+      for (int c = 0; c < e->nchan; ++c) {
+        out[2 * c] = e->ch[c].krms;
+        out[2 * c + 1] = e->ch[c].kpeak;
+        e->ch[c].kflag = true;
+      }
+      for (int p = 0; p < s.npairs; ++p)
+        out[2 * e->nchan + p] =
+            s.zp[p][0] / std::sqrt(s.zp[p][1] * s.zp[p][2] + 1e-10);
+      return need;
     }
   }
   return -3;

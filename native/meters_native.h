@@ -55,11 +55,18 @@ typedef enum {
   MT_MSPPM = 8,       /* BBC mid/side M-6 */
   MT_SIGDIST = 9,     /* signal-distribution histogram (summary) */
   MT_BITMETER = 10,   /* IEEE-754 stats (summary) */
+  MT_DR14 = 11,       /* DR-14 crest-factor meter (3 s windows) */
+  MT_TPNRMS = 12,     /* dBTP + RMS display (dr14.c dr_mode=false) */
+  MT_GONIO = 13,      /* goniometer trace (nchan arg = oversample 1/2/4/8) */
+  MT_PHASEWHEEL = 14, /* 8192-pt STFT per-bin phase difference (stereo) */
+  MT_STEREOSCOPE = 15,/* 8192-pt STFT per-bin L/R position (stereo) */
+  MT_SURROUND = 16,   /* N-channel K-meters + 4 correlation pairs */
 } mt_meter_kind;
 
 typedef struct mt_engine mt_engine;
 
-/* nchan: independent channels (STCORR/R128 interpret them jointly). */
+/* nchan: independent channels (STCORR/R128 interpret them jointly;
+ * GONIO repurposes it as the oversample factor and is always stereo). */
 mt_engine* mt_engine_create(int kind, float fs, int nchan);
 void mt_engine_destroy(mt_engine* e);
 
@@ -76,6 +83,15 @@ int mt_engine_process(mt_engine* e, const float* data, int64_t nframes);
  *  MSPPM:        2 (mid, side)
  *  SIGDIST:      5 (peak bin, peak count, sum, variance M2, count)
  *  BITMETER:     7 (zero, pos, nan, inf, den, min, max)
+ *  DR14:         5*nchan (v_rms, v_peak, m_peak coeffs; m_rms dB; DR
+ *                per channel) + (dr_total, block_count)
+ *  TPNRMS:       4*nchan (v_rms, v_peak, m_peak, m_rms coeffs)
+ *  GONIO:        7 (gain, xmin, xmax, ymin, ymax, last_x, last_y;
+ *                extrema are read-and-reset)
+ *  PHASEWHEEL:   1 + 2*4096 (peak; last frame dphi[4096], level[4096])
+ *  STEREOSCOPE:  2*4096 (last frame lr[4096], level[4096])
+ *  SURROUND:     2*nchan (rms, peak per channel) + npairs correlations
+ *                (npairs = 4, or 3 when nchan <= 3)
  * Returns the number of values written, or negative on error. */
 int mt_engine_read(mt_engine* e, double* out, int maxn);
 

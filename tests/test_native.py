@@ -153,6 +153,140 @@ def test_native_msppm_sigdist_bitmeter():
     assert nv[5] == 0.25 and nv[6] == 1.5
 
 
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+@pytest.mark.parametrize("kind", ["dr14", "tpnrms"])
+def test_native_dr14_matches_jax(kind):
+    from meters_lv2_tpu.models.dr14 import DR14Meter, TPnRMSMeter
+
+    rng = np.random.default_rng(11)
+    T = FS * 10  # > 3 windows so nf > 2
+    env = (0.15 + 0.25 * np.sin(2 * np.pi * np.arange(T) / FS / 2.5)) ** 2
+    x = (env * rng.standard_normal((2, T))).astype(np.float32)
+    eng = native.NativeEngine(kind, FS, 2)
+    m = (DR14Meter if kind == "dr14" else TPnRMSMeter)(FS, nchan=2)
+    st = m.init(())
+    upd = jax.jit(m.update)
+    for b in range(10):
+        blk = x[:, b * FS : (b + 1) * FS]
+        eng.process(blk)
+        st = upd(st, jnp.asarray(blk))
+    nv = eng.read()
+    jv, _ = m.read(st)
+    if kind == "tpnrms":
+        got = np.stack(
+            [np.asarray(jv[k]) for k in ("v_rms", "v_peak", "m_peak", "m_rms")],
+            -1,
+        ).ravel()
+        np.testing.assert_allclose(got, nv, atol=2e-3)
+    else:
+        got = np.stack(
+            [np.asarray(jv[k]) for k in ("v_rms", "v_peak", "m_peak", "m_rms", "dr")],
+            -1,
+        ).ravel()
+        # m_rms/dr are 0.01 dB-histogram-quantized; f32-vs-f64 window sums
+        # may flip one bin
+        np.testing.assert_allclose(got, nv[:10], atol=0.03)
+        np.testing.assert_allclose(float(jv["dr_total"]), nv[10], atol=0.03)
+        assert float(jv["block_count"]) == nv[11]
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+@pytest.mark.parametrize("os_", [1, 4])
+def test_native_goniometer_matches_jax(os_):
+    from meters_lv2_tpu.models.goniometer import Goniometer
+
+    rng = np.random.default_rng(13)
+    x = (0.3 * rng.standard_normal((2, FS))).astype(np.float32)
+    eng = native.NativeEngine("gonio", FS, os_)  # nchan arg = oversample
+    m = Goniometer(FS, oversample=os_)
+    st = m.init(())
+    out, st = jax.jit(lambda s, v: m.process(s, v))(st, jnp.asarray(x))
+    eng.process(x)
+    nv = eng.read()  # gain, xmin, xmax, ymin, ymax, last_x, last_y
+    ax, ay = np.asarray(out["x"]), np.asarray(out["y"])
+    np.testing.assert_allclose(float(out["gain"]), nv[0], rtol=1e-4)
+    np.testing.assert_allclose(
+        [ax.min(), ax.max(), ay.min(), ay.max()], nv[1:5], rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose([ax[-1], ay[-1]], nv[5:7], rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_phasewheel_matches_jax():
+    from meters_lv2_tpu.models.phasewheel import PhaseWheel
+
+    rng = np.random.default_rng(17)
+    t = np.arange(FS) / FS
+    base = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 1870 * t)
+    x = np.stack(
+        [base + 0.02 * rng.standard_normal(FS),
+         np.roll(base, 7) + 0.02 * rng.standard_normal(FS)]
+    ).astype(np.float32)
+    eng = native.NativeEngine("phasewheel", FS, 2)
+    m = PhaseWheel(FS)
+    st = m.init(())
+    out, st = jax.jit(lambda s, v: m.process(s, v))(st, jnp.asarray(x))
+    eng.process(x)
+    nv = eng.read()
+    np.testing.assert_allclose(float(out["peak"]), nv[0], rtol=1e-3)
+    dphi = np.asarray(out["phase"])[-1]  # last analysis frame
+    level = np.asarray(out["level"])[-1]
+    n_dphi, n_level = nv[1:4097], nv[4097:]
+    ok = (level > -99) & (n_level > -99)  # both above threshold
+    assert np.mean((level > -99) == (n_level > -99)) > 0.95
+    np.testing.assert_allclose(level[ok], n_level[ok], rtol=1e-4)
+    np.testing.assert_allclose(dphi[ok], n_dphi[ok], atol=1e-3)
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_stereoscope_matches_jax():
+    from meters_lv2_tpu.models.phasewheel import Stereoscope
+
+    rng = np.random.default_rng(19)
+    t = np.arange(FS) / FS
+    x = np.stack(
+        [np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(FS),
+         0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(FS)]
+    ).astype(np.float32)
+    eng = native.NativeEngine("stereoscope", FS, 2)
+    m = Stereoscope(FS)
+    st = m.init(())
+    out, st = jax.jit(lambda s, v: m.process(s, v))(st, jnp.asarray(x))
+    eng.process(x)
+    nv = eng.read()
+    lrp, level = np.asarray(out["lr"]), np.asarray(out["level"])
+    n_lr, n_level = nv[:4096], nv[4096:]
+    big = level > 1e-12  # compare where levels are resolvable in f32
+    np.testing.assert_allclose(level[big], n_level[big], rtol=2e-3)
+    np.testing.assert_allclose(lrp[big], n_lr[big], atol=2e-3)
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_surround_matches_jax():
+    from meters_lv2_tpu.models.surround import Surround5Meter
+
+    rng = np.random.default_rng(23)
+    C = 5
+    x = (0.3 * rng.standard_normal((C, FS * 2))).astype(np.float32)
+    eng = native.NativeEngine("surround", FS, C)
+    m = Surround5Meter(FS)
+    st = m.init(())
+    upd = jax.jit(m.update)
+    for b in range(2):
+        blk = x[:, b * FS : (b + 1) * FS]
+        eng.process(blk)
+        st = upd(st, jnp.asarray(blk))
+    nv = eng.read()
+    jv, _ = m.read(st)
+    got = np.stack(
+        [np.asarray(jv["level"]), np.asarray(jv["peak"])], -1
+    ).ravel()
+    np.testing.assert_allclose(got, nv[: 2 * C], rtol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(jv["correlation"]), nv[2 * C :], atol=2e-3
+    )
+
+
 def test_native_batch_decode(tmp_path):
     """Thread-pool batch decode == per-file decode, incl. an error slot."""
     import pytest
