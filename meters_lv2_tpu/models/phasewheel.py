@@ -19,8 +19,26 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import fft as fft_ops
+from ..ops import pallas_stft
 from .base import register
 from .cor import CorrelationMeter, CorState
+
+
+def _fused_mode(stft: fft_ops.STFT, T: int) -> tuple[bool, bool]:
+    """(use_fused, interpret) for the Pallas analyzer kernel.
+
+    METERS_TPU_STFT_FUSED: '0' off, '1' force, 'interpret' force in
+    interpreter mode (CPU tests), default 'auto' = on TPU when the
+    geometry fits (hop % 128 == 0 — 48/96 kHz; 44.1 kHz falls back to
+    the XLA path)."""
+    mode = pallas_stft.mode_env()
+    if mode == "0" or not pallas_stft.usable(stft.window_size, stft.hop, T):
+        return False, False
+    if mode == "interpret":
+        return True, True
+    if mode == "1" or (mode == "auto" and pallas_stft.available()):
+        return True, False
+    return False, False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,9 +83,39 @@ class PhaseWheel:
         Returns ({'phase','level','peak','correlation'}, state): phase/level
         are [..., F, bins] per analysis frame (level in power, -100 marker
         below threshold like phasewheel.c:1317-1323)."""
-        power, phase, stft_st = self.stft.update(state.stft, lr)
-        pl, pr = power[..., 0, :, :], power[..., 1, :, :]
-        phl, phr = phase[..., 0, :, :], phase[..., 1, :, :]
+        T = lr.shape[-1]
+        use_fused, interp = _fused_mode(self.stft, T)
+        D = self.stft.data_size
+        if use_fused:
+            # fused Pallas STFT emits raw per-channel (re, im); the
+            # analysis below runs as ONE fused XLA elementwise pass
+            # (in-kernel atan2 measured 2.4x slower end-to-end)
+            W = self.stft.window_size
+            ext = jnp.concatenate([state.stft.tail, lr], axis=-1)
+            re, im = pallas_stft.analyzer_frames(
+                ext, self.stft.win, self.stft.hop, "raw",
+                self.db_thresh, interpret=interp,
+            )
+            lre, rre = re[..., 0, :, :], re[..., 1, :, :]
+            lim, rim = im[..., 0, :, :], im[..., 1, :, :]
+            pl = lre * lre + lim * lim
+            pr = rre * rre + rim * rim
+            phl = jnp.arctan2(lim, lre)
+            phr = jnp.arctan2(rim, rre)
+            # ft_analyze boundary bins (fft.c:166-178)
+            pl = pl.at[..., D - 1].set(0.0)
+            pr = pr.at[..., D - 1].set(0.0)
+            phl = phl.at[..., 0].set(0.0).at[..., D - 1].set(0.0)
+            phr = phr.at[..., 0].set(0.0).at[..., D - 1].set(0.0)
+            # phase_h is carried unchanged (nothing downstream of the
+            # wheel consumes freq_at_bin; matches compute_phase=False)
+            stft_st = fft_ops.STFTState(
+                tail=ext[..., -W:], phase_h=state.stft.phase_h
+            )
+        else:
+            power, phase, stft_st = self.stft.update(state.stft, lr)
+            pl, pr = power[..., 0, :, :], power[..., 1, :, :]
+            phl, phr = phase[..., 0, :, :], phase[..., 1, :, :]
         ok = (pl >= self.db_thresh) & (pr >= self.db_thresh)
         dphi = jnp.where(ok, phr - phl, 0.0)
         level = jnp.where(ok, jnp.maximum(pl, pr), -100.0)
@@ -134,19 +182,33 @@ class Stereoscope:
 
     def process(self, state, lr: jax.Array):
         """lr: [..., 2, T] → ({'lr','level'} smoothed per final frame, state)."""
-        power, _, stft_st = self.stft.update(
-            state["stft"], lr, compute_phase=False
-        )
-        pl, pr = power[..., 0, :, :], power[..., 1, :, :]
-        thresh = 1e-20
-        lv = jnp.maximum(pl, pr)
-        ok = (pl >= thresh) | (pr >= thresh)
-        pos = jnp.where(
-            ok,
-            0.5 + 0.5 * (jnp.sqrt(pr) - jnp.sqrt(pl)) / jnp.sqrt(jnp.maximum(lv, 1e-30)),
-            0.5,
-        )
-        tgt_lv = jnp.where(ok, lv, 0.0)
+        T = lr.shape[-1]
+        use_fused, interp = _fused_mode(self.stft, T)
+        if use_fused:
+            W = self.stft.window_size
+            ext = jnp.concatenate([state["stft"].tail, lr], axis=-1)
+            pos, tgt_lv = pallas_stft.analyzer_frames(
+                ext, self.stft.win, self.stft.hop, "stereoscope", 1e-20,
+                interpret=interp,
+            )
+            stft_st = fft_ops.STFTState(
+                tail=ext[..., -W:], phase_h=state["stft"].phase_h
+            )
+            ok = tgt_lv > 0.0  # kernel zero-marks below-threshold bins
+        else:
+            power, _, stft_st = self.stft.update(
+                state["stft"], lr, compute_phase=False
+            )
+            pl, pr = power[..., 0, :, :], power[..., 1, :, :]
+            thresh = 1e-20
+            lv = jnp.maximum(pl, pr)
+            ok = (pl >= thresh) | (pr >= thresh)
+            pos = jnp.where(
+                ok,
+                0.5 + 0.5 * (jnp.sqrt(pr) - jnp.sqrt(pl)) / jnp.sqrt(jnp.maximum(lv, 1e-30)),
+                0.5,
+            )
+            tgt_lv = jnp.where(ok, lv, 0.0)
 
         def step(carry, inp):
             level, lrp = carry

@@ -62,12 +62,20 @@ def make_signal(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
     return np.stack([l, r]).astype(np.float32)
 
 
-def make_surround(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
-    """[5, T] synthetic 5.0 bed derived from the stereo signal:
-    (L, R, center, Ls, Rs)."""
+def make_surround(
+    name: str, seconds: float = 6.0, fs: int = FS, nchan: int = 5
+) -> np.ndarray:
+    """[nchan, T] synthetic surround bed derived from the stereo signal.
+    nchan=5 keeps the original (L, R, center, Ls, Rs) mix bit-exactly;
+    3..8 channels extend it with deterministic derived beds."""
     x = make_signal(name, seconds, fs)
     l, r = x
-    return np.stack([l, r, 0.5 * (l + r), 0.7 * l, 0.6 * r]).astype(np.float32)
+    chans = [
+        l, r, 0.5 * (l + r), 0.7 * l, 0.6 * r,
+        0.5 * (l - r), 0.8 * r, 0.65 * l + 0.2 * r,
+    ]
+    assert 3 <= nchan <= 8, nchan
+    return np.stack(chans[:nchan]).astype(np.float32)
 
 
 ALL_SIGNALS = [

@@ -99,6 +99,18 @@ CASES = [
     # arbitrary-ratio zita resampler: (block, read_every) carry
     # (fs_out, hlen) for this mode
     ("surround5", 5, ["mix"], 6.0),
+    # channel-count extremes: 3ch drops to 3 correlators (surmeter.c:57),
+    # 7/8ch exercise the full pair wrap-around routing
+    ("surround3", 3, ["mix"], 6.0),
+    ("surround7", 7, ["mix"], 6.0),
+    ("surround8", 8, ["mix"], 6.0),
+    # 96 kHz display analyzers: the 25 Hz band (spectrum) is the f32
+    # precision worst case; DR windows = 288001 samples
+    ("spectrum_96k", 2, ["mix"], 4.0, 1024, 16, 96000),
+    ("dr14_96k", 2, ["mix"], 16.0, 1024, 47, 96000),
+    # 44.1 kHz STFT analyzers (hop = 1764; block 882 keeps frames aligned)
+    ("phasewheel_44k", 2, ["mix"], 2.0, 882, 5, 44100, ["128"]),
+    ("stereoscope_44k", 2, ["mix"], 2.0, 882, 5, 44100, ["128"]),
     ("rresample_up", 2, ["mix"], 1.0, 48000, 32, 44100),
     ("rresample_down", 2, ["intersample_peak"], 1.0, 44100, 32, 48000),
 ]
@@ -125,10 +137,10 @@ def main(patterns=()):
             if meter.startswith(prefix):
                 gmeter = prefix
         for sig in signals:
-            if nchan == 5:
+            if meter.startswith("surround") or meter.startswith("ebur128_5ch"):
                 from signals import make_surround
 
-                x = make_surround(sig, seconds, fs=rate)
+                x = make_surround(sig, seconds, fs=rate, nchan=nchan)
             else:
                 x = make_signal(sig, seconds, fs=rate)  # [2, T]
                 if nchan == 1:
