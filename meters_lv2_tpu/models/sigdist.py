@@ -9,6 +9,16 @@ TPU design: per-block binning via the one-hot-matmul histogram (ops.hist);
 the running variance uses the parallel (Chan) merge of per-block moments —
 numerically better than the reference's sequential double-precision Welford
 and well within tolerance.
+
+Reference quirk opt-in: the reference's running-variance count is the GLOBAL
+sample index (`cnt_a = integration_time + s + 1`, sigdistlv2.c:317), which
+keeps advancing for out-of-range samples even though their values are
+skipped (`if (bin < 0) continue;`) — so with clipping-hot material the
+variance denominator is inflated relative to the accepted-sample count.
+``SigDistMeter(reference_oor_count=True)`` reproduces that semantics
+exactly (same pattern as ``EbuR128Meter(reference_radar=True)``): the
+quirky per-sample mean recurrence is a first-order affine chain, run as a
+``lax.associative_scan`` prefix composition rather than a serial loop.
 """
 
 from __future__ import annotations
@@ -48,9 +58,13 @@ jax.tree_util.register_dataclass(
 
 @register("SigDistHist")
 class SigDistMeter:
-    def __init__(self, fs: float, dtype=jnp.float32):
+    def __init__(self, fs: float, dtype=jnp.float32,
+                 reference_oor_count: bool = False):
         self.fs = float(fs)
         self.dtype = dtype
+        # Reproduce the reference's out-of-range Welford count semantics
+        # (sigdistlv2.c:316-318); see module docstring.
+        self.reference_oor_count = bool(reference_oor_count)
 
     def init(self, batch_shape=()) -> SigDistState:
         z = jnp.zeros(batch_shape, self.dtype)
@@ -74,16 +88,51 @@ class SigDistMeter:
         # histogram drops out-of-range bins but avg/var do not,
         # sigdistlv2.c:303-318 — avg += val before the bin check?  No:
         # `if (bin < 0) continue;` skips avg too; match that).
-        nb, mb, m2b = hist_ops.welford_block(x, ok)
-        n, mean, m2 = hist_ops.welford_merge(
-            (state.n, state.mean, state.m2), (nb, mb, m2b)
-        )
+        if self.reference_oor_count:
+            mean, m2 = self._oor_welford(state, x, ok)
+            n = state.n + ok.sum(-1, dtype=jnp.int32)
+        else:
+            nb, mb, m2b = hist_ops.welford_block(x, ok)
+            n, mean, m2 = hist_ops.welford_merge(
+                (state.n, state.mean, state.m2), (nb, mb, m2b)
+            )
         total = state.total + jnp.where(ok, x, 0.0).sum(-1)
         time = state.time + jnp.where(run, T, 0)
         return SigDistState(
             hist=hist, n=n, mean=mean, m2=m2, total=total, time=time,
             integrating=state.integrating,
         )
+
+    def _oor_welford(self, state: SigDistState, x: jax.Array, ok: jax.Array):
+        """Reference-exact Welford chain (sigdistlv2.c:313-318).
+
+        The count is the global sample index INCLUDING skipped out-of-range
+        samples (`cnt_a = integration_time + s + 1`); skipped samples leave
+        (var_m, var_s) untouched.  Each accepted sample applies the affine
+        map m -> (1 - 1/cnt)*m + val/cnt, a skipped one the identity — so
+        the per-sample mean trajectory is a prefix composition of affine
+        maps, computed with `lax.associative_scan` (log-depth, no serial
+        loop), then var_s increments close over (val - m_t)(val - m_{t-1}).
+        """
+        *batch, T = x.shape
+        # 1-based global index of each sample, counting out-of-range too
+        cnt = (state.time[..., None]
+               + jnp.arange(1, T + 1, dtype=jnp.int32)).astype(x.dtype)
+        a = jnp.where(ok, 1.0 - 1.0 / cnt, 1.0)
+        b = jnp.where(ok, x / cnt, 0.0)
+
+        def comp(p, q):  # apply p first, then q
+            a1, b1 = p
+            a2, b2 = q
+            return a1 * a2, a2 * b1 + b2
+
+        A, B = jax.lax.associative_scan(comp, (a, b), axis=-1)
+        m = A * state.mean[..., None] + B  # var_m AFTER sample t
+        m_prev = jnp.concatenate(
+            [state.mean[..., None], m[..., :-1]], axis=-1
+        )
+        var_s_inc = jnp.where(ok, (x - m) * (x - m_prev), 0.0).sum(-1)
+        return m[..., -1], state.m2 + var_s_inc
 
     def read(self, state: SigDistState):
         """sdh_histogram atom contents (sigdistlv2.c:332-355)."""
@@ -97,8 +146,12 @@ class SigDistMeter:
             "hist_var": state.m2,  # reference transmits var_s (sum of sq dev)
             "integration_time": state.time,
             "mean": state.mean,
-            "variance": state.m2
-            / jnp.maximum(state.n.astype(state.m2.dtype) - 1.0, 1.0),
+            # the reference UI divides var_s by (integration_spl - 1), i.e.
+            # ALL samples incl. out-of-range (gui/sdhmeter.c:316); our
+            # default mode divides by the accepted-sample count
+            "variance": state.m2 / jnp.maximum(
+                (state.time if self.reference_oor_count else state.n)
+                .astype(state.m2.dtype) - 1.0, 1.0),
         }, state
 
     def reset(self, state: SigDistState) -> SigDistState:

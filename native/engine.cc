@@ -98,7 +98,9 @@ struct SigDistState {
   long hist[361] = {0};
   long peak_bin = -1, peak_cnt = 0;
   double sum = 0, mean = 0, m2 = 0;
-  long n = 0;
+  long n = 0;     // accepted (in-range) samples
+  long time = 0;  // ALL samples seen — the reference's Welford count
+                  // (sigdistlv2.c:317) advances for skipped samples too
 };
 
 struct BitState {
@@ -941,14 +943,17 @@ extern "C" int mt_engine_process(mt_engine* e, const float* data, int64_t n) {
       SigDistState& s = e->sig;
       for (int64_t t = 0; t < n; ++t) {
         float v = data[t];
+        s.time++;  // global index: advances even for skipped samples
         int bin = (int)std::rint(180.0f + v * 150.0f);
         if (bin < 0 || bin >= 361) continue;
         if (++s.hist[bin] > s.peak_cnt) { s.peak_cnt = s.hist[bin]; s.peak_bin = bin; }
         s.sum += v;
         s.n++;
-        double d = v - s.mean;
-        s.mean += d / s.n;
-        s.m2 += d * (v - s.mean);
+        // reference-exact recurrence: count = global sample index, so
+        // out-of-range samples inflate the denominator (sigdistlv2.c:313-318)
+        double m1 = s.mean;
+        s.mean += (v - s.mean) / (double)s.time;
+        s.m2 += (v - s.mean) * (v - m1);
       }
       return 0;
     }

@@ -35,6 +35,14 @@ def make_signal(name: str, seconds: float = 6.0, fs: int = FS) -> np.ndarray:
     elif name == "silence_then_tone":
         l = np.where(t > seconds / 2, 0.25 * np.sin(2 * np.pi * 997 * t), 0.0)
         r = np.where(t > seconds / 2, 0.20 * np.sin(2 * np.pi * 499 * t), 0.0)
+    elif name == "hot":
+        # Deliberately exceeds the sigdist bin span (bin = rint(180+150v)
+        # in [0,360] <=> v in [-1.203, 1.203]): exercises the reference's
+        # out-of-range Welford count quirk (src/sigdistlv2.c:316-318 — the
+        # running-variance count advances for skipped samples).
+        env = 1.0 + 0.6 * np.sin(2 * np.pi * 0.33 * t)
+        l = env * np.sin(2 * np.pi * 441 * t) + 0.1 * rng.standard_normal(n)
+        r = 0.9 * env * np.sin(2 * np.pi * 883 * t) + 0.1 * rng.standard_normal(n)
     elif name == "intersample_peak":
         # near-fs/4 tone with phase offset: true peak exceeds sample peak
         l = 0.5 * np.sin(2 * np.pi * (fs / 4.0 - 10) * t + 0.3)

@@ -519,38 +519,65 @@ def test_tpnrms_parity():
                             fx["signal"], rec["block"], key, c, got, want)
 
 
+def _run_sigdist_fixture(fx, **meter_kw):
+    """Stream a sigdist fixture; returns the worst |hist_var| rel error."""
+    from meters_lv2_tpu.models.sigdist import SigDistMeter
+
+    m = SigDistMeter(fx["fs"], **meter_kw)
+    x = _stream(fx)[0]  # reference meters channel 0 only
+    st = m.init(())
+    upd = jax.jit(m.update)
+    mid = [r for r in fx["reads"] if "final" not in r]
+    final = [r for r in fx["reads"] if r.get("final")][0]
+    it = iter(mid)
+    worst_var_rel = 0.0
+    for b in range(len(x) // fx["block"]):
+        st = upd(st, jnp.asarray(x[b * fx["block"] : (b + 1) * fx["block"]]))
+        if (b + 1) % fx["read_every"] == 0:
+            out, st = m.read(st)
+            rec = next(it)
+            assert int(out["hist_max"]) == rec["hist_max"], rec["block"]
+            # peak-bin ties: reference keeps first-to-reach; we take
+            # argmax — assert our bin holds the max count
+            pb = int(out["hist_peak_bin"])
+            assert int(np.asarray(out["hist"])[pb]) == rec["hist_max"]
+            assert int(out["integration_time"]) == rec["time"]
+            np.testing.assert_allclose(
+                float(out["hist_avg"]), rec["hist_avg"], rtol=1e-3, atol=0.1)
+            worst_var_rel = max(
+                worst_var_rel,
+                abs(float(out["hist_var"]) - rec["hist_var"])
+                / max(abs(rec["hist_var"]), 1e-3),
+            )
+    np.testing.assert_array_equal(
+        np.asarray(st.hist), np.asarray(final["hist"]),
+        err_msg=fx["signal"],
+    )
+    return worst_var_rel
+
+
 def test_sigdist_parity():
     """361-bin histogram exact; running avg / Welford variance vs the
     reference's sequential double-precision loop (sigdistlv2.c:298-326)."""
-    from meters_lv2_tpu.models.sigdist import SigDistMeter
-
     for fx in _fixtures("sigdist"):
-        m = SigDistMeter(fx["fs"])
-        x = _stream(fx)[0]  # reference meters channel 0 only
-        st = m.init(())
-        upd = jax.jit(m.update)
-        mid = [r for r in fx["reads"] if "final" not in r]
-        final = [r for r in fx["reads"] if r.get("final")][0]
-        it = iter(mid)
-        for b in range(len(x) // fx["block"]):
-            st = upd(st, jnp.asarray(x[b * fx["block"] : (b + 1) * fx["block"]]))
-            if (b + 1) % fx["read_every"] == 0:
-                out, st = m.read(st)
-                rec = next(it)
-                assert int(out["hist_max"]) == rec["hist_max"], rec["block"]
-                # peak-bin ties: reference keeps first-to-reach; we take
-                # argmax — assert our bin holds the max count
-                pb = int(out["hist_peak_bin"])
-                assert int(np.asarray(out["hist"])[pb]) == rec["hist_max"]
-                assert int(out["integration_time"]) == rec["time"]
-                np.testing.assert_allclose(
-                    float(out["hist_avg"]), rec["hist_avg"], rtol=1e-3, atol=0.1)
-                np.testing.assert_allclose(
-                    float(out["hist_var"]), rec["hist_var"], rtol=1e-3, atol=1e-3)
-        np.testing.assert_array_equal(
-            np.asarray(st.hist), np.asarray(final["hist"]),
-            err_msg=fx["signal"],
-        )
+        assert _run_sigdist_fixture(fx) <= 1e-3, fx["signal"]
+
+
+def test_sigdist_oor_quirk_parity():
+    """Out-of-range Welford count quirk (sigdistlv2.c:316-318): on material
+    exceeding the ±1.2 bin span, `reference_oor_count=True` must reproduce
+    the reference's inflated-count variance; the default (accepted-count)
+    mode must measurably diverge — proving the fixture exercises the quirk."""
+    fixtures = _fixtures("sigdist_oor")
+    assert fixtures, "sigdist_oor golden fixture missing"
+    for fx in fixtures:
+        quirk = _run_sigdist_fixture(fx, reference_oor_count=True)
+        plain = _run_sigdist_fixture(fx)  # accepted-count denominator
+        # quirk-exact mode tracks the f64 golden at f32 precision (~3e-7
+        # measured); the accepted-count mode carries a systematic bias two
+        # orders larger (~5e-5 on this near-zero-mean signal)
+        assert quirk <= 1e-5, (fx["signal"], quirk)
+        assert plain > 30 * quirk, (fx["signal"], plain, quirk)
 
 
 def test_bitmeter_parity():

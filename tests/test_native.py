@@ -114,6 +114,7 @@ def test_native_spectrum_matches_jax():
 @pytest.mark.skipif(not _have_native(), reason="no native toolchain")
 def test_native_msppm_sigdist_bitmeter():
     from meters_lv2_tpu.models import needle, sigdist
+    from signals import make_signal
 
     rng = np.random.default_rng(4)
     x = (0.4 * rng.standard_normal((2, 1024 * 10))).astype(np.float32)
@@ -130,8 +131,11 @@ def test_native_msppm_sigdist_bitmeter():
     np.testing.assert_allclose(float(jv["mid"]), nv[0], rtol=3e-4)
     np.testing.assert_allclose(float(jv["side"]), nv[1], rtol=3e-4)
 
+    # the native engine mirrors the reference's out-of-range Welford count
+    # (sigdistlv2.c:316-318); 0.4σ noise exceeds the ±1.2 bin span at ~3σ,
+    # so compare against the quirk-exact JAX mode
     eng = native.NativeEngine("sigdist", FS, 1)
-    ms = sigdist.SigDistMeter(FS)
+    ms = sigdist.SigDistMeter(FS, reference_oor_count=True)
     ss = ms.init(())
     eng.process(x[:1])
     ss = jax.jit(ms.update)(ss, jnp.asarray(x[0]))
@@ -142,6 +146,20 @@ def test_native_msppm_sigdist_bitmeter():
     assert int(o["hist_max"]) == int(nv[1])
     hist = np.asarray(o["hist"])
     assert hist[int(nv[0])] == int(nv[1])
+    np.testing.assert_allclose(float(o["hist_avg"]), nv[2], rtol=1e-3)
+    np.testing.assert_allclose(float(o["hist_var"]), nv[3], rtol=1e-3)
+
+    # hot material (~9% of samples out of range): three-way quirk agreement
+    hot = np.asarray(make_signal("hot", 2.0), np.float32)
+    eng = native.NativeEngine("sigdist", FS, 1)
+    ss = ms.init(())
+    eng.process(hot[:1])
+    ss = jax.jit(ms.update)(ss, jnp.asarray(hot[0]))
+    nv = eng.read()
+    o, _ = ms.read(ss)
+    assert int(o["hist_max"]) == int(nv[1])
+    assert int(o["integration_time"]) == hot.shape[1]
+    assert int(np.asarray(ss.n)) == int(nv[4]) < hot.shape[1]
     np.testing.assert_allclose(float(o["hist_avg"]), nv[2], rtol=1e-3)
     np.testing.assert_allclose(float(o["hist_var"]), nv[3], rtol=1e-3)
 

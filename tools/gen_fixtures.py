@@ -80,8 +80,11 @@ CASES = [
     ("dr14_44k", 2, ["mix"], 16.0, 1024, 47, 44100),
     ("tpnrms", 2, ["mix", "bursts"], 6.0),
     # sigdist: signals with all samples in the 361-bin range (out-of-range
-    # samples desync the reference's Welford count quirk, sigdistlv2.c:317)
+    # samples desync the accepted-count Welford; see sigdist_oor below)
     ("sigdist", 1, ["mix", "sine997", "clipped"], 6.0),
+    # out-of-range material (> ±1.2): pins the reference's Welford count
+    # quirk (sigdistlv2.c:316-318), reproduced by reference_oor_count=True
+    ("sigdist_oor", 1, ["hot"], 6.0),
     ("bitmeter", 1, ["weird_floats", "mix"], 2.0),
     # FFT meters + goniometer (fftw-free golden path in golden_main.cc).
     # block=960 divides hop=ceil(48000/25)=1920, so the reference's
