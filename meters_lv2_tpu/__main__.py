@@ -254,6 +254,12 @@ def main(argv=None):
             ap.error(f"unknown meter {n!r}")
         if n in _STEREO_ONLY and C != 2:
             ap.error(f"meter {n!r} needs stereo input, files have {C} channels")
+        # channel-count constraints mirror applicable_meters() so an
+        # explicit request fails as an argparse error, not an assert
+        if n == "surround" and not (3 <= C <= 8):
+            ap.error(f"surround needs 3..8 channels, files have {C}")
+        if n == "r128" and C > 5:  # MAXCH=5 (ebu_r128_proc.h:26)
+            ap.error(f"r128 supports at most 5 channels, files have {C}")
     disp_names = [n for n in names if n in DISPLAY_METERS]
     pipe_names = [n for n in names if n not in DISPLAY_METERS]
     spairs = None

@@ -52,7 +52,15 @@ class CorrelationMeter:
         the one-pole is a closed-form weighted sum — one reduction pass
         instead of a blocked scan over the full product series:
         z_T = (1-w)^T z_0 + sum_t w (1-w)^{T-1-t} p_t  (exact algebra of
-        `z += w2*(p - z)`, stcorrdsp.cc:62-64)."""
+        `z += w2*(p - z)`, stcorrdsp.cc:62-64).
+
+        Precision envelope: the f32 dot reorders the reference's
+        sequential f32 recurrence, so agreement degrades as T*w2 grows
+        (w2 ~ 1/(tcf*fs) => ~7e-5 per sample at 48 kHz).  Intended
+        per-update block sizes are <= a few seconds (T*w2 <~ 10; golden
+        suite covers 1 s blocks at ~1e-6 agreement).  For very long
+        single-call blocks, segment at the pipeline layer (run_stream)
+        instead of passing hour-long arrays in one update()."""
         T = prods.shape[-1]
         t = np.arange(T, dtype=np.float64)
         wv = (self.w2 * (1.0 - self.w2) ** (T - 1.0 - t)).astype(np.float32)

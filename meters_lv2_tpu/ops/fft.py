@@ -229,11 +229,13 @@ class STFT:
                compute_phase: bool = True):
         """x: [..., T], T % hop == 0.
 
-        Returns (power [..., F, W/2], phase [..., F, W/2], new_state) where
-        F = T // hop; frame f covers the window ending at sample (f+1)*hop.
-        Power-only consumers (e.g. the stereoscope) pass
-        compute_phase=False to skip the per-bin atan2 (phase returns
-        zeros and phase_h is carried unchanged).
+        Returns (power [..., F, W/2], phase [..., F, W/2] | None,
+        new_state) where F = T // hop; frame f covers the window ending at
+        sample (f+1)*hop.  Power-only consumers (e.g. the stereoscope)
+        pass compute_phase=False to skip the per-bin atan2 — phase is
+        then None (not zeros: a caller forgetting the flag fails loudly
+        instead of silently reading an all-zero phase) and phase_h is
+        carried unchanged.
         """
         *batch, T = x.shape
         F = self.frames_in(T)
@@ -255,7 +257,7 @@ class STFT:
             phase = phase.at[..., self.data_size - 1].set(0.0)
             phase_h = phase[..., -1, :]
         else:
-            phase = jnp.zeros_like(power)
+            phase = None
             phase_h = state.phase_h
         new_state = STFTState(tail=ext[..., -W:], phase_h=phase_h)
         return power, phase, new_state

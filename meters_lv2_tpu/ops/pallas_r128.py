@@ -201,6 +201,23 @@ def _tp_frame_mats() -> tuple[np.ndarray, np.ndarray]:
     return _split_bf16_host(Mp)
 
 
+_warned_overrides: set[str] = set()
+
+
+def _warn_rejected_override(name: str, value: str, why: str) -> None:
+    """Tile-sweep env overrides exist precisely to be honored; a silently
+    ignored non-dividing value wastes a 5-10 min TPU compile (ADVICE
+    round 3) — warn once per env var."""
+    if name not in _warned_overrides:
+        _warned_overrides.add(name)
+        import warnings
+
+        warnings.warn(
+            f"{name}={value} rejected ({why}); falling back to auto tile",
+            stacklevel=3,
+        )
+
+
 def _pick_tile(n: int, options) -> int | None:
     for o in options:
         if n % o == 0:
@@ -267,7 +284,11 @@ def fused_core(
     if r_tile is None:
         env_r = _os.environ.get("METERS_TPU_R128_RTILE")
         if env_r:
-            r_tile = int(env_r) if Bp % int(env_r) == 0 else None
+            if Bp % int(env_r) == 0:
+                r_tile = int(env_r)
+            else:
+                _warn_rejected_override("METERS_TPU_R128_RTILE", env_r,
+                                        f"padded batch {Bp} not divisible")
         if r_tile is None:
             r_tile = _pick_tile(Bp, (128, 64, 32, 16, 8))
     nb = T // _BLK
@@ -276,9 +297,13 @@ def fused_core(
     # budget at r_tile=128).  METERS_TPU_R128_K overrides for tile sweeps.
     if k is None:
         env_k = _os.environ.get("METERS_TPU_R128_K")
-        if env_k and nb % int(env_k) == 0:
-            k = int(env_k)
-        else:
+        if env_k:
+            if nb % int(env_k) == 0:
+                k = int(env_k)
+            else:
+                _warn_rejected_override("METERS_TPU_R128_K", env_k,
+                                        f"{nb} blocks not divisible")
+        if k is None:
             k = _pick_tile(nb, range(15, 0, -1))
     assert Bp % r_tile == 0 and nb % k == 0, (Bp, r_tile, nb, k)
     t_tile = k * _BLK

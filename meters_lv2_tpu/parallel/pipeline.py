@@ -175,38 +175,48 @@ class MeterPipeline:
 
         xs = jnp.moveaxis(x.reshape(B, C, n_steps, chunk), -2, 0)
 
-        @jax.jit
-        def phase1(state, xs):
-            def step(st, inp):
-                xc, j = inp
-                new = self.update(st, xc)
-                return self._freeze(st, new, j < full_chunks), ()
+        # the jitted phases are cached on self keyed by the static
+        # geometry — repeated ragged ingests (any length mix) reuse the
+        # same two wrappers, so the two-compiled-programs guarantee holds
+        # ACROSS calls, not just within one (jit caches per wrapper)
+        key = (chunk, C, n_steps)
+        cache = getattr(self, "_ragged_cache", None)
+        if cache is None:
+            cache = self._ragged_cache = {}
+        if key not in cache:
+            n_levels = max(chunk // 4 - 1, 1).bit_length()
 
-            st, _ = jax.lax.scan(
-                step, state, (xs, jnp.arange(n_steps, dtype=jnp.int32))
-            )
-            return st
+            @jax.jit
+            def phase1(state, xs, full_chunks):
+                def step(st, inp):
+                    xc, j = inp
+                    new = self.update(st, xc)
+                    return self._freeze(st, new, j < full_chunks), ()
 
-        n_levels = max(chunk // 4 - 1, 1).bit_length()
+                st, _ = jax.lax.scan(
+                    step, state, (xs, jnp.arange(n_steps, dtype=jnp.int32))
+                )
+                return st
 
-        @jax.jit
-        def phase2(state, x, tails, starts):
-            q = tails // 4
-            pos = starts
-            for k in reversed(range(n_levels)):
-                s = 4 << k
-                take = ((q >> k) & 1) == 1
-                xt = jax.vmap(
-                    lambda xi, p, s=s: jax.lax.dynamic_slice(
-                        xi, (0, p), (C, s)
-                    )
-                )(x, pos)
-                state = self._freeze(state, self.update(state, xt), take)
-                pos = pos + jnp.where(take, s, 0)
-            return state
+            @jax.jit
+            def phase2(state, x, tails, starts):
+                q = tails // 4
+                pos = starts
+                for k in reversed(range(n_levels)):
+                    s = 4 << k
+                    take = ((q >> k) & 1) == 1
+                    xt = jax.vmap(
+                        lambda xi, p, s=s: jax.lax.dynamic_slice(
+                            xi, (0, p), (C, s)
+                        )
+                    )(x, pos)
+                    state = self._freeze(state, self.update(state, xt), take)
+                    pos = pos + jnp.where(take, s, 0)
+                return state
 
-        self._ragged_fns = (phase1, phase2)
-        state = phase1(state, xs)
+            cache[key] = (phase1, phase2)
+        phase1, phase2 = self._ragged_fns = cache[key]
+        state = phase1(state, xs, full_chunks)
 
         tails = lengths % chunk
         if (tails > 0).any():

@@ -475,6 +475,17 @@ def test_ragged_50_random_lengths_two_programs():
     assert phase1._cache_size() == 1
     assert phase2._cache_size() == 1
 
+    # a SECOND ingest with a different length mix must reuse the same
+    # jitted wrappers (cached on the pipeline keyed by geometry) — the
+    # two-programs guarantee holds across calls (ADVICE round 3)
+    lens2 = (rng.integers(chunk // 2, 3 * chunk, size=50) // 4) * 4
+    st2 = pipe.init((50,))
+    pipe.run_stream_ragged(st2, jnp.asarray(x), lens2, chunk)
+    p1b, p2b = pipe._ragged_fns
+    assert p1b is phase1 and p2b is phase2
+    assert phase1._cache_size() == 1
+    assert phase2._cache_size() == 1
+
     # per-file serial reference: one whole-file update each
     ref_pipe = MeterPipeline({"vu": VUMeter(FS), "k20": K20Meter(FS)}, nchan=2)
     for i, L in enumerate(lens):
