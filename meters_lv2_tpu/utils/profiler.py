@@ -23,9 +23,19 @@ import numpy as np
 
 
 def _fetch_barrier(tree) -> None:
-    """Force completion: host-copy one element of the first array leaf."""
+    """Force completion: host-copy ONE ELEMENT of the first array leaf.
+
+    On the axon backend block_until_ready can return at enqueue time
+    (docs/BENCHMARKS.md round 2) — a device->host fetch is the only
+    reliable barrier.  The fetch is a single element, not the whole
+    leaf: the element's producing slice is enqueued after the timed
+    dispatches, so its arrival still proves they completed, without
+    billing the timed region for a multi-MB state transfer through the
+    tunnel (a [B,2,8192] STFT tail fetched whole costs more than the
+    analyzer program it barriers — measured round 4)."""
     for leaf in jax.tree_util.tree_leaves(tree):
-        arr = np.asarray(leaf)
+        el = leaf[(0,) * getattr(leaf, "ndim", 0)]
+        arr = np.asarray(el)
         del arr
         return
 
