@@ -99,12 +99,17 @@ def _run_ballistics(coeffs, t, z1, z2, m, p):
 
         from . import pallas_ballistics as pb
 
+        import os
+
         nb = int(np.prod(batch)) if batch else 1
         pz = (p if track_peak else jnp.zeros_like(m)).reshape(nb)
+        # envelope composition variant (SURVEY §7 option (a), measured —
+        # see docs/BENCHMARKS.md round 4); METERS_TPU_BALLISTICS_ENV=1/0
+        env = os.environ.get("METERS_TPU_BALLISTICS_ENV", "0") == "1"
         z1f, z2f, mf, pf = pb.ballistics_pallas(
             t.reshape(nb, T), z1.reshape(nb), z2.reshape(nb), m.reshape(nb),
             pz, w1=coeffs.w1, w2=coeffs.w2, w3=coeffs.w3,
-            track_peak=track_peak,
+            track_peak=track_peak, envelope=env,
         )
         rs = lambda v: v.reshape(*batch) if batch else v.reshape(())
         return rs(z1f), rs(z2f), rs(mf), (rs(pf) if track_peak else None)

@@ -29,7 +29,8 @@ _SL = 8
 _LN = 128
 
 
-def _kernel(w1, w2, w3, track_peak, tchunk, in_ref, s0_ref, out_ref, scratch):
+def _kernel(w1, w2, w3, track_peak, tchunk, envelope,
+            in_ref, s0_ref, out_ref, scratch):
     """in_ref: [tchunk, 1, 8, 128]; s0/out: [1, 4, 8, 128];
     scratch: [4, 8, 128] persistent across the time grid dim."""
     tj = pl.program_id(1)
@@ -57,7 +58,56 @@ def _kernel(w1, w2, w3, track_peak, tchunk, in_ref, s0_ref, out_ref, scratch):
         m = jnp.maximum(m, z1 + z2)
         return z1, z2, m, p
 
-    z1, z2, m, p = jax.lax.fori_loop(0, tchunk // 4, group, (z1, z2, m, p))
+    def group_env(g, carry):
+        """SURVEY §7 option (a): max-of-affine envelope per 4-sample group.
+
+        Each sample step is z' = max(z, (1-w)z + w t) — a max of monotone
+        affine maps, so max distributes over the composition and the
+        group's exact response is the 5-piece convex envelope
+        z_out = max_k (w3 * (1-w)^k * z + b_k), where b_k (the best
+        intercept over attack subsets of size k) is INDEPENDENT of z.
+        The serial dependency per group shrinks from ~12 chained VPU ops
+        to mul + fma + max-tree (~5); the b_k max-plus DP pipelines
+        across loop iterations since it never touches the carry.
+        NaN samples never attack (reference branch compares false) —
+        equivalent to t = -inf, which drops out of every max candidate.
+        """
+        z1, z2, m, p = carry
+        t = [in_ref[4 * g + j, 0] for j in range(4)]
+        ninf = jnp.float32(np.float32("-inf"))
+        ts = [jnp.where(tt == tt, tt, ninf) for tt in t]
+
+        def env(z, w):
+            a = 1.0 - w
+            u = [w * tt for tt in ts]
+            # max-plus DP over samples: b_k = best intercept with k
+            # attacks so far; attacking scales prior intercept by a
+            b1 = u[0]
+            b2 = b3 = b4 = ninf
+            for j in (1, 2, 3):
+                b4 = jnp.maximum(b4, b3 * a + u[j])
+                b3 = jnp.maximum(b3, b2 * a + u[j])
+                b2 = jnp.maximum(b2, b1 * a + u[j])
+                b1 = jnp.maximum(b1, u[j])
+            d = z * w3
+            out = jnp.maximum(
+                jnp.maximum(d, d * a + b1),
+                jnp.maximum(d * (a * a) + b2, d * (a * a * a) + b3),
+            )
+            return jnp.maximum(out, d * (a * a * a * a) + b4)
+
+        z1 = env(z1, w1)
+        z2 = env(z2, w2)
+        if track_peak:
+            pg = jnp.maximum(
+                jnp.maximum(ts[0], ts[1]), jnp.maximum(ts[2], ts[3])
+            )
+            p = jnp.maximum(p, pg)
+        m = jnp.maximum(m, z1 + z2)
+        return z1, z2, m, p
+
+    body = group_env if envelope else group
+    z1, z2, m, p = jax.lax.fori_loop(0, tchunk // 4, body, (z1, z2, m, p))
     scratch[0] = z1
     scratch[1] = z2
     scratch[2] = m
@@ -76,7 +126,10 @@ def _pick_tchunk(T: int, cap: int = 2048) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("w1", "w2", "w3", "track_peak"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("w1", "w2", "w3", "track_peak", "envelope", "interpret"),
+)
 def ballistics_pallas(
     t_abs: jax.Array,
     z1: jax.Array,
@@ -88,6 +141,8 @@ def ballistics_pallas(
     w2: float,
     w3: float,
     track_peak: bool = False,
+    envelope: bool = False,
+    interpret: bool = False,
 ):
     """Run the ballistics recurrence over t_abs [B, T] (T % 4 == 0).
 
@@ -114,6 +169,7 @@ def ballistics_pallas(
     # immediates (traced scalars would be captured constants)
     kernel = functools.partial(
         _kernel, float(w1), float(w2), float(w3), track_peak, tchunk,
+        envelope,
     )
     out = pl.pallas_call(
         kernel,
@@ -131,6 +187,7 @@ def ballistics_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 4, _SL, _LN), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4, _SL, _LN), jnp.float32)],
+        interpret=interpret,
     )(xt, s0)
 
     out = out.transpose(1, 0, 2, 3).reshape(4, Bp)[:, :B]
