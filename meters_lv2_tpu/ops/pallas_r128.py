@@ -76,17 +76,34 @@ def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _make_kernel(nblk: int, C: int, op):
+def _make_kernel(nblk: int, C: int, op, seg_info=None):
     """Build the kernel body for one (row_tile, time_tile, channel)
     program.  The small state-space operator At [4,4] is baked in as
     python-float immediates; Sy / G^T and the big GEMM weights arrive as
-    refs (Pallas kernels may not capture array constants)."""
+    refs (Pallas kernels may not capture array constants).
+
+    seg_info = (fragm, n_slots): emit per-FRAGMENT power sums [R, n_slots]
+    instead of the full-rate power [R, T].  Each 128-sample block spans at
+    most two fragment slots (fragm > 128), so its contribution is two
+    masked lane-reduces scattered by per-row one-hot adds into a VMEM
+    accumulator — the full-rate p never touches HBM and the consumer's
+    [B,T] -> [B,n_slots,fragm] lane-split retile disappears (VERDICT
+    round 3 item 6).  An extra int32 input carries the per-row sample
+    offset `off` of the open fragment."""
     at = np.asarray(op.at, np.float32)  # [4, 4], s' = s @ at
 
-    def kernel(x_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
-               kh_ref, kl_ref, mth_ref, mtl_ref,
-               p_ref, zout_ref, histout_ref, tpmax_ref,
-               s_scr, prev_scr, acc_scr):
+    def kernel(*refs):
+        if seg_info is None:
+            (x_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
+             kh_ref, kl_ref, mth_ref, mtl_ref,
+             p_ref, zout_ref, histout_ref, tpmax_ref,
+             s_scr, prev_scr, acc_scr) = refs
+        else:
+            (x_ref, off_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
+             kh_ref, kl_ref, mth_ref, mtl_ref,
+             p_ref, zout_ref, histout_ref, tpmax_ref,
+             s_scr, prev_scr, acc_scr, seg_scr) = refs
+            fragm, n_slots = seg_info
         t = pl.program_id(1)
         c = pl.program_id(2)
 
@@ -101,6 +118,8 @@ def _make_kernel(nblk: int, C: int, op):
         @pl.when((t == 0) & (c == 0))
         def _():
             acc_scr[...] = jnp.zeros_like(acc_scr)
+            if seg_info is not None:
+                seg_scr[...] = jnp.zeros_like(seg_scr)
 
         gain = gains_ref[c, 0]
         sy_rows = [sy_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
@@ -125,6 +144,13 @@ def _make_kernel(nblk: int, C: int, op):
         zpad = jnp.zeros((prev.shape[0], _BLK - _TPB - _NH), _F32)
 
         first = c == 0
+        if seg_info is not None:
+            R = prev.shape[0]
+            off = off_ref[:, :1]  # [R, 1] int32
+            lane = jax.lax.broadcasted_iota(jnp.int32, (R, _BLK), 1)
+            slots = jax.lax.broadcasted_iota(jnp.int32, (R, n_slots), 1)
+            segacc = seg_scr[...]  # [R, n_slots] running fragment sums
+            tbase = t * (nblk * _BLK)
         for j in range(nblk):
             xb = x_ref[:, _BLK * j: _BLK * (j + 1)]  # [R, 128]
             x_hl = split(xb)
@@ -157,13 +183,27 @@ def _make_kernel(nblk: int, C: int, op):
                 for i in range(4)
             ]
             wy = gain * y * y
-            sl = slice(_BLK * j, _BLK * (j + 1))
-            # channel programs revisit the same resident p block:
-            # c == 0 initializes, later channels accumulate
-            if C == 1:
-                p_ref[:, sl] = wy
+            if seg_info is None:
+                sl = slice(_BLK * j, _BLK * (j + 1))
+                # channel programs revisit the same resident p block:
+                # c == 0 initializes, later channels accumulate
+                if C == 1:
+                    p_ref[:, sl] = wy
+                else:
+                    p_ref[:, sl] = jnp.where(first, wy, p_ref[:, sl] + wy)
             else:
-                p_ref[:, sl] = jnp.where(first, wy, p_ref[:, sl] + wy)
+                # fragment-slot accumulation: this 128-block spans at most
+                # two slots (fragm > 128); two masked lane-reduces + one-hot
+                # adds into the running [R, n_slots] sums
+                pos0 = off + (tbase + _BLK * j)  # [R, 1]
+                slot_lo = pos0 // fragm
+                bpos = fragm - pos0 % fragm  # lanes < bpos stay in slot_lo
+                head = lane < bpos
+                hs = jnp.sum(jnp.where(head, wy, 0.0), axis=1, keepdims=True)
+                ts = jnp.sum(jnp.where(head, 0.0, wy), axis=1, keepdims=True)
+                segacc = (segacc
+                          + jnp.where(slots == slot_lo, hs, 0.0)
+                          + jnp.where(slots == slot_lo + 1, ts, 0.0))
             prev = xb
             last = xb
 
@@ -175,6 +215,9 @@ def _make_kernel(nblk: int, C: int, op):
         zout_ref[0] = s_scr[c]
         histout_ref[0] = last[:, _BLK - _NH:]
         tpmax_ref[...] = jnp.max(acc, axis=1, keepdims=True)
+        if seg_info is not None:
+            seg_scr[...] = segacc
+            p_ref[...] = segacc
 
     return kernel
 
@@ -235,6 +278,9 @@ def fused_core(
     interpret: bool = False,
     r_tile: int | None = None,
     k: int | None = None,
+    off: jax.Array | None = None,
+    fragm: int | None = None,
+    n_slots: int | None = None,
 ):
     """Fused K-weighting combined power + true-peak max over one block.
 
@@ -250,11 +296,18 @@ def fused_core(
       gains: per-channel power gains (R128_CHAN_GAIN / mono 2.0), static.
       op:    ops.lti.LTIBlockOp for the K-weighting system at block=128
              (numpy leaves; baked into the kernel as constants).
+      off/fragm/n_slots: SEG MODE — when `off` ([B] int32 sample offset of
+             the open fragment) is given, the kernel accumulates the
+             per-FRAGMENT power sums in VMEM and the first return value is
+             seg [B, n_slots] (== ops.segment.shifted_segments(p, off,
+             fragm, n_slots, 'sum') up to f32 reduce order) instead of the
+             full-rate p [B, T], which then never touches HBM.
 
     Returns:
-      (p [B, T], z [B, C, 4], hist [B, C, 47], tpmax [B]): combined
-      K-weighted power, updated states, and the block's max absolute
-      oversampled sample over all channels.
+      (p [B, T] | seg [B, n_slots], z [B, C, 4], hist [B, C, 47],
+      tpmax [B]): combined K-weighted power (or its fragment sums),
+      updated states, and the block's max absolute oversampled sample
+      over all channels.
     """
     if x.ndim == 2:
         B = x.shape[0]
@@ -272,11 +325,18 @@ def fused_core(
     z2 = jnp.swapaxes(z0, 0, 1)  # [C, B, 4]
     h2 = jnp.swapaxes(hist, 0, 1)  # [C, B, 47]
 
+    seg_mode = off is not None
+    if seg_mode:
+        assert fragm is not None and n_slots is not None and fragm > _BLK
+        off2 = off.astype(jnp.int32).reshape(B, 1)
+
     rpad = (-B) % 8
     if rpad:
         x2 = jnp.pad(x2, ((0, rpad), (0, 0)))
         z2 = jnp.pad(z2, ((0, 0), (0, rpad), (0, 0)))
         h2 = jnp.pad(h2, ((0, 0), (0, rpad), (0, 0)))
+        if seg_mode:
+            off2 = jnp.pad(off2, ((0, rpad), (0, 0)))
     Bp = B + rpad
 
     import os as _os
@@ -325,30 +385,51 @@ def fused_core(
     cmap = lambda r, t, c: (0, 0)
     smap = lambda r, t, c: (c, r, 0)  # channel-major per-channel states
 
+    in_specs = [
+        # one operand; the channel picks the lane-block offset
+        pl.BlockSpec((r_tile, t_tile), lambda r, t, c: (r, c * nt + t),
+                     memory_space=vm),
+    ]
+    args = [x2]
+    if seg_mode:
+        in_specs.append(
+            pl.BlockSpec((r_tile, 1), lambda r, t, c: (r, 0),
+                         memory_space=vm)
+        )
+        args.append(off2)
+    in_specs += [
+        pl.BlockSpec((1, r_tile, 4), smap, memory_space=vm),
+        pl.BlockSpec((1, r_tile, _NH), smap, memory_space=vm),
+        pl.BlockSpec((C, 1), lambda r, t, c: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ] + [
+        pl.BlockSpec(w.shape, cmap, memory_space=vm) for w in weights
+    ]
+    args += [z2, h2, gvec, *weights]
+    if seg_mode:
+        p_spec = pl.BlockSpec((r_tile, n_slots), lambda r, t, c: (r, 0),
+                              memory_space=vm)
+        p_shape = jax.ShapeDtypeStruct((Bp, n_slots), _F32)
+        extra_scratch = [pltpu.VMEM((r_tile, n_slots), _F32)]
+    else:
+        p_spec = pl.BlockSpec((r_tile, t_tile), lambda r, t, c: (r, t),
+                              memory_space=vm)
+        p_shape = jax.ShapeDtypeStruct((Bp, T), _F32)
+        extra_scratch = []
+
     p, zout, histout, tpmax = pl.pallas_call(
-        _make_kernel(k, C, op),
+        _make_kernel(k, C, op, (fragm, n_slots) if seg_mode else None),
         grid=grid,
-        in_specs=[
-            # one operand; the channel picks the lane-block offset
-            pl.BlockSpec((r_tile, t_tile), lambda r, t, c: (r, c * nt + t),
-                         memory_space=vm),
-            pl.BlockSpec((1, r_tile, 4), smap, memory_space=vm),
-            pl.BlockSpec((1, r_tile, _NH), smap, memory_space=vm),
-            pl.BlockSpec((C, 1), lambda r, t, c: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ] + [
-            pl.BlockSpec(w.shape, cmap, memory_space=vm) for w in weights
-        ],
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((r_tile, t_tile), lambda r, t, c: (r, t),
-                         memory_space=vm),
+            p_spec,
             pl.BlockSpec((1, r_tile, 4), smap, memory_space=vm),
             pl.BlockSpec((1, r_tile, _NH), smap, memory_space=vm),
             pl.BlockSpec((r_tile, 1), lambda r, t, c: (r, 0),
                          memory_space=vm),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, T), _F32),
+            p_shape,
             jax.ShapeDtypeStruct((C, Bp, 4), _F32),
             jax.ShapeDtypeStruct((C, Bp, _NH), _F32),
             jax.ShapeDtypeStruct((Bp, 1), _F32),
@@ -357,14 +438,14 @@ def fused_core(
             pltpu.VMEM((C, r_tile, 4), _F32),
             pltpu.VMEM((C, r_tile, _BLK), _F32),
             pltpu.VMEM((r_tile, 4 * _TPB), _F32),
-        ],
+        ] + extra_scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * C * T * 3 * (_BLK + 2 * 4 * _BLK),
-            bytes_accessed=Bp * T * (C + 1) * 4,
+            bytes_accessed=Bp * T * (C + (0 if seg_mode else 1)) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, z2, h2, gvec, *weights)
+    )(*args)
 
     zout = jnp.swapaxes(zout, 0, 1)  # [Bp, C, 4]
     histout = jnp.swapaxes(histout, 0, 1)

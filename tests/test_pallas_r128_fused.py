@@ -225,3 +225,36 @@ def test_fused_update_with_cadence_and_radar_speed(_fused_interpret):
     # runtime radar-speed change still a pure state update under fused
     s2 = m.set_radar_speed(s, 60.0)
     assert bool(jnp.all(s2.radar_spd == int(round(60.0 * fs / 360))))
+
+
+def test_fused_core_seg_mode():
+    """SEG MODE: in-kernel fragment sums == shifted_segments of the
+    full-rate power (up to f32 reduce order), for nontrivial per-stream
+    offsets crossing fragment boundaries mid-block."""
+    from meters_lv2_tpu.ops import segment
+
+    sys = lti.LTISystem(*design.k_weighting_state_space(48000))
+    rng = np.random.default_rng(4)
+    B, C, T = 5, 2, 2560
+    fragm = 2400  # 48 kHz fragment; boundaries land mid-128-block
+    n_slots = T // fragm + 2
+    gains = (1.0, 1.41)
+    x = jnp.asarray(0.3 * rng.standard_normal((B, C, T)), jnp.float32)
+    z0 = jnp.asarray(0.01 * rng.standard_normal((B, C, 4)), jnp.float32)
+    hist = jnp.asarray(0.1 * rng.standard_normal((B, C, 47)), jnp.float32)
+    off = jnp.asarray(rng.integers(0, fragm, B), jnp.int32)
+
+    p, z, h, tpm = pallas_r128.fused_core(
+        x, z0, hist, gains, sys.op(128), interpret=True
+    )
+    seg_ref = segment.shifted_segments(p, off, fragm, n_slots, "sum")
+
+    seg, z2, h2, tpm2 = pallas_r128.fused_core(
+        x, z0, hist, gains, sys.op(128), interpret=True,
+        off=off, fragm=fragm, n_slots=n_slots,
+    )
+    assert seg.shape == (B, n_slots)
+    np.testing.assert_allclose(seg, seg_ref, rtol=2e-6, atol=1e-9)
+    np.testing.assert_allclose(z, z2, rtol=0, atol=0)
+    np.testing.assert_array_equal(h, h2)
+    np.testing.assert_array_equal(tpm, tpm2)
