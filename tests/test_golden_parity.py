@@ -700,7 +700,44 @@ def test_surround_parity(prefix):
 
 def test_parity_96khz():
     """96 kHz fixtures: high-rate coefficient rescaling (fragm = 4800,
-    4x-oversampled true peak at 384 kHz)."""
+    4x-oversampled true peak at 384 kHz, ballistics w = f(fs))."""
+    # needle/K ballistics at 96 kHz (mirrors the 44.1 kHz coverage)
+    for kind, cls in [("vu_96k", needle.VUMeter),
+                      ("iec2_96k", needle.BBCMeter)]:
+        for fx in _fixtures(kind):
+            m = cls(fx["fs"])
+            x = _stream(fx)
+            st = m.init((2,))
+            upd = jax.jit(m.update)
+            reads = iter(fx["reads"])
+            for b in range(x.shape[1] // fx["block"]):
+                st = upd(st, jnp.asarray(
+                    x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+                if (b + 1) % fx["read_every"] == 0:
+                    vals, st = m.read(st, ref_level_db=-18.0)
+                    rec = next(reads)
+                    for c in range(2):
+                        assert_level(np.asarray(vals)[c], rec["values"][c],
+                                     msg=f"{kind} blk {rec['block']} ch{c}")
+    for fx in _fixtures("kmeter_96k"):
+        m = kmeter.KMeter(fx["fs"])
+        x = _stream(fx)
+        st = m.init((2,))
+        upd = jax.jit(m.update)
+        reads = iter(fx["reads"])
+        for b in range(x.shape[1] // fx["block"]):
+            st = upd(st, jnp.asarray(
+                x[:, b * fx["block"] : (b + 1) * fx["block"]]))
+            if (b + 1) % fx["read_every"] == 0:
+                vals, st = m.read(st)
+                rec = next(reads)
+                for c in range(2):
+                    assert_level(np.asarray(vals["rms"])[c],
+                                 rec["values"][2 * c],
+                                 msg=f"km96k rms ch{c} blk {rec['block']}")
+                    assert_level(np.asarray(vals["peak"])[c],
+                                 rec["values"][2 * c + 1],
+                                 msg=f"km96k peak ch{c} blk {rec['block']}")
     for fx in _fixtures("truepeak_96k"):
         m = truepeak.TruePeakMeter(fx["fs"])
         x = _stream(fx)

@@ -71,6 +71,11 @@ CASES = [
     # high rate (96 kHz: fragm = 4800; 4x-oversampled true peak at 384 k)
     ("ebur128_96k", 2, ["mix"], 12.0, 1024, 16, 96000),
     ("truepeak_96k", 2, ["intersample_peak"], 6.0, 1024, 16, 96000),
+    # ballistics coefficient rescaling at 96 kHz (w = f(fs) at 2x the
+    # design rate; complements the 44.1 kHz row above)
+    ("vu_96k", 2, ["mix"], 6.0, 1024, 16, 96000),
+    ("iec2_96k", 2, ["mix"], 6.0, 1024, 16, 96000),
+    ("kmeter_96k", 2, ["bursts"], 6.0, 1024, 16, 96000),
     ("spectrum", 2, ["mix", "noise", "sine997"], 4.0),
     # DR-14: >=5 complete 3 s (144001-sample) windows, incl. a silence-gated
     # stretch; read cadence = the km/tp read-reset parity contract
