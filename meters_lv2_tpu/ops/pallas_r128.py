@@ -76,7 +76,7 @@ def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _make_kernel(nblk: int, C: int, op, seg_info=None):
+def _make_kernel(nblk: int, C: int, op, seg_info=None, exact_kw=False):
     """Build the kernel body for one (row_tile, time_tile, channel)
     program.  The small state-space operator At [4,4] is baked in as
     python-float immediates; Sy / G^T and the big GEMM weights arrive as
@@ -92,17 +92,22 @@ def _make_kernel(nblk: int, C: int, op, seg_info=None):
     offset `off` of the open fragment."""
     at = np.asarray(op.at, np.float32)  # [4, 4], s' = s @ at
 
+    nk = 3 if exact_kw else 2  # K-weighting conv operand splits
+
     def kernel(*refs):
         if seg_info is None:
-            (x_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
-             kh_ref, kl_ref, mth_ref, mtl_ref,
+            (x_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref) = refs[:6]
+            kmats = refs[6 : 6 + nk]
+            (mth_ref, mtl_ref,
              p_ref, zout_ref, histout_ref, tpmax_ref,
-             s_scr, prev_scr, acc_scr) = refs
+             s_scr, prev_scr, acc_scr) = refs[6 + nk :]
         else:
-            (x_ref, off_ref, z0_ref, hist_ref, gains_ref, sy_ref, gt_ref,
-             kh_ref, kl_ref, mth_ref, mtl_ref,
+            (x_ref, off_ref, z0_ref, hist_ref, gains_ref,
+             sy_ref, gt_ref) = refs[:7]
+            kmats = refs[7 : 7 + nk]
+            (mth_ref, mtl_ref,
              p_ref, zout_ref, histout_ref, tpmax_ref,
-             s_scr, prev_scr, acc_scr, seg_scr) = refs
+             s_scr, prev_scr, acc_scr, seg_scr) = refs[7 + nk :]
             fragm, n_slots = seg_info
         t = pl.program_id(1)
         c = pl.program_id(2)
@@ -124,7 +129,7 @@ def _make_kernel(nblk: int, C: int, op, seg_info=None):
         gain = gains_ref[c, 0]
         sy_rows = [sy_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
         g_cols = [gt_ref[i: i + 1, :] for i in range(4)]  # [1, 128]
-        kh, kl = kh_ref[...], kl_ref[...]
+        kms = [r[...] for r in kmats]
         mth, mtl = mth_ref[...], mtl_ref[...]
 
         def split(a):
@@ -136,6 +141,21 @@ def _make_kernel(nblk: int, C: int, op, seg_info=None):
         def dot3(ahl, bh, bl):
             ah, al = ahl
             return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+        def conv_kw(xb, x_hl):
+            if not exact_kw:
+                return dot3(x_hl, kms[0], kms[1])
+            # f32-exact 6-pass: 3-way splits both sides, drop <=2^-24 terms
+            ah = x_hl[0]
+            r = xb - ah.astype(_F32)
+            am = r.astype(jnp.bfloat16)
+            al = (r - am.astype(_F32)).astype(jnp.bfloat16)
+            bh, bm, bl = kms
+            return (
+                (dot(ah, bl) + dot(al, bh) + dot(am, bm))
+                + (dot(ah, bm) + dot(am, bh))
+                + dot(ah, bh)
+            )
 
         # this channel's state: four [R, 1] columns (exact-f32 VPU math)
         sc = [s_scr[c, :, i: i + 1] for i in range(4)]
@@ -169,7 +189,7 @@ def _make_kernel(nblk: int, C: int, op, seg_info=None):
                 av = jnp.where(av != av, 0.0, av)
                 acc = jnp.maximum(acc, av)
             # K-weighting: y = xb@K + s@Sy (VPU); s' = s@At + xb@G
-            y = dot3(x_hl, kh, kl) + (
+            y = conv_kw(xb, x_hl) + (
                 sc[0] * sy_rows[0] + sc[1] * sy_rows[1]
                 + sc[2] * sy_rows[2] + sc[3] * sy_rows[3]
             )
@@ -371,13 +391,29 @@ def fused_core(
     grid = (Bp // r_tile, nt, C)
 
     # big-GEMM weights, pre-split hi/lo bf16 on the host (kmat is stored
-    # transposed by build_lti_block_op so y = u @ kmat directly)
-    kh, kl = _split_bf16_host(op.kmat)  # [128, 128]
+    # transposed by build_lti_block_op so y = u @ kmat directly).
+    # METERS_TPU_R128_EXACT=1: the K-weighting conv runs f32-exact 6-pass
+    # 3-way splits instead of 3-pass HIGH — for knife-edge parity runs
+    # (the measured 96 kHz -14.55 LUFS bin flip); costs ~3 extra MXU
+    # passes per block (docs/BENCHMARKS.md round 4)
+    exact_kw = _os.environ.get("METERS_TPU_R128_EXACT", "0") == "1"
+    if exact_kw:
+        import ml_dtypes as _mld
+
+        bf16 = np.dtype(_mld.bfloat16)
+        a = np.asarray(op.kmat, np.float32)
+        k_h = a.astype(bf16)
+        r = a - k_h.astype(np.float32)
+        k_m = r.astype(bf16)
+        k_l = (r - k_m.astype(np.float32)).astype(bf16)
+        kmats = (k_h, k_m, k_l)
+    else:
+        kmats = _split_bf16_host(op.kmat)  # [128, 128] hi/lo
     mth, mtl = _tp_frame_mats()  # [128, 256]
     sy = np.asarray(op.sy, np.float32)  # [4, 128]
     gt = np.ascontiguousarray(np.asarray(op.g, np.float32).T)  # [4, 128]
     weights = tuple(
-        jnp.asarray(w) for w in (sy, gt, kh, kl, mth, mtl)
+        jnp.asarray(w) for w in (sy, gt, *kmats, mth, mtl)
     )
     gvec = jnp.asarray(np.asarray(gains, np.float32)[:, None])  # [C, 1]
 
@@ -418,7 +454,8 @@ def fused_core(
         extra_scratch = []
 
     p, zout, histout, tpmax = pl.pallas_call(
-        _make_kernel(k, C, op, (fragm, n_slots) if seg_mode else None),
+        _make_kernel(k, C, op, (fragm, n_slots) if seg_mode else None,
+                     exact_kw),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
