@@ -139,19 +139,10 @@ def _render_views(render_dir, names, outs, files, fs):
     import jax
     import numpy as np
 
-    from .utils import db, render
+    from .utils import render
     from .utils.png import write_png
 
     os.makedirs(render_dir, exist_ok=True)
-    needle_types = {
-        "vu": db.MT_VU, "din": db.MT_DIN, "nor": db.MT_NOR,
-        "bbc": db.MT_BBC, "ebu": db.MT_EBU,
-    }
-    kranges = {"k12": 12.0, "k14": 14.0, "k20": 20.0}
-
-    def _db(v):
-        return 20.0 * np.log10(np.maximum(np.asarray(v, np.float64), 1e-10))
-
     # fetch each meter's batched output once (not once per file)
     host = {
         n: jax.tree_util.tree_map(np.asarray, outs[n]) for n in names
@@ -160,49 +151,7 @@ def _render_views(render_dir, names, outs, files, fs):
         base = os.path.splitext(os.path.basename(path))[0]
         for n in names:
             o = jax.tree_util.tree_map(lambda a: a[i], host[n])
-            img = None
-            if n == "r128":
-                img = render.radar_image(o["radar_m"], int(o["radar_pos"]))
-            elif n in needle_types:
-                v = o if not isinstance(o, dict) else next(iter(o.values()))
-                img = render.needle_image(float(np.max(v)), needle_types[n])
-            elif n == "bbcms":
-                img = render.needle_image(float(o["mid"]), db.MT_BM6)
-            elif n == "cor":
-                v = o if not isinstance(o, dict) else o["correlation"]
-                img = render.cor_image(float(np.asarray(v)))
-            elif n in kranges:
-                rms_db = 20.0 * np.log10(max(float(np.max(o["rms"])), 1e-10))
-                img = render.bargraph_image(rms_db, kranges[n])
-            elif n == "spectrum":
-                img = render.spectrum_image(o["bands"], o.get("peaks"))
-            elif n == "sigdist":
-                img = render.sigdist_image(o["hist"])
-            elif n == "bitmeter":
-                img = render.bitmeter_image(o["hit"], o["one"])
-            elif n == "truepeak":
-                # dBTP digital bargraph + held-peak tick (src/dpy_bargraph.c)
-                img = render.surround_image(
-                    _db(o["level"]), _db(o["peak"]), None, width=80
-                )
-            elif n in ("dr14", "tpnrms"):
-                dr = float(o["dr_total"]) if "dr_total" in o else 21.0
-                img = render.dr14_image(dr, o["v_rms"], o["v_peak"])
-            elif n == "surround":
-                img = render.surround_image(
-                    _db(o["level"]), _db(o["peak"]), o["correlation"]
-                )
-            elif n == "goniometer":
-                img = render.goniometer_image(
-                    o["x"], o["y"], gain=float(o["gain"])
-                )
-            elif n == "phasewheel":
-                nb = o["phase"].shape[-1]
-                img = render.phasewheel_image(
-                    o["phase"][-1], o["level"][-1], fs / (2.0 * nb)
-                )
-            elif n == "stereoscope":
-                img = render.stereoscope_image(o["lr"], o["level"])
+            img = render.meter_view(n, o, fs)
             if img is not None:
                 write_png(
                     os.path.join(render_dir, f"{base}_{n}.png"), img

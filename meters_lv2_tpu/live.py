@@ -1,0 +1,310 @@
+"""Live streaming meter shell — the realtime-app analog of the reference's
+standalone JACK meters (x42-meter-collection: robtk wraps each plugin DSP
+in a JACK client + interactive GUI, Makefile:281-446, gui/meters.c:43-57).
+
+    python -m meters_lv2_tpu.live FILE.wav [--meters r128,truepeak,...]
+                                  [--port 8765] [--fps 10] [--speed 1.0]
+
+One feeder thread paces chunks of the file through the meters at
+``--speed`` x realtime (0 = unpaced) while an embedded zero-dependency
+HTTP server serves an auto-refreshing dashboard: every selected meter's
+inline view (utils/render.meter_view) as PNG plus a JSON readout, with
+the reference EBU GUI's transport controls (integration start / pause /
+reset, radar reset — gui/ebur.c button row) exposed as endpoints.
+
+TPU mapping: the device keeps all meter state resident; the host loop
+only enqueues update() calls (async dispatch overlaps decode with device
+compute) and fetches tiny readout snapshots at the frame rate — the
+accumulate-hot / snapshot-rarely discipline of SURVEY §2.4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+from .__main__ import METER_CHOICES, DISPLAY_METERS, build_meter, _to_py
+
+_CONTROLS = ("start", "pause", "reset")  # gui/ebur.c BTN_START/PAUSE/RESET
+
+
+class LiveEngine:
+    """Streaming meter bank over one audio stream ([C, T] blocks).
+
+    Thread-safe: feed() runs in the ingest thread; snapshot()/frame()/
+    control() may be called from server threads.  Mirrors the reference's
+    RT/GUI split — run() mutates DSP state, the GUI polls readouts."""
+
+    def __init__(self, names, fs, nchan, surround_pairs=None):
+        import jax
+
+        from .parallel.pipeline import MeterPipeline
+
+        self.fs = float(fs)
+        self.nchan = int(nchan)
+        self.names = list(names)
+        self._lock = threading.Lock()
+        self._display = {}
+        win = 0
+        pipe_meters = {}
+        for n in self.names:
+            m = build_meter(n, fs, nchan, surround_pairs=surround_pairs)
+            if n in DISPLAY_METERS:
+                hop = m.stft.hop if hasattr(m, "stft") else 4
+                w = hop * max(1, int(round(fs / hop)))  # ~1 s, hop-aligned
+                self._display[n] = (m, w, jax.jit(m.process))
+                win = max(win, w)
+            else:
+                pipe_meters[n] = m
+        # one fused program updates every pipeline meter per block, with
+        # the same channel routing as the batch CLI (MeterPipeline._mode)
+        self._pipe = MeterPipeline(pipe_meters, nchan=nchan)
+        self._state = self._pipe.init(())
+        self._update = jax.jit(self._pipe.update)
+        self._read = jax.jit(self._pipe.read)
+        # trailing-window ring for the GUI-thread analyzers (the analog of
+        # the reference GUI reading the most recent ring-buffer audio)
+        self._ring = np.zeros((nchan, max(win, 4)), np.float32)
+        self.fed_samples = 0
+        self.generation = 0  # bumped per feed; frame cache key
+        self._frames: dict[str, tuple[int, bytes]] = {}
+
+    def feed(self, block: np.ndarray):
+        """Ingest one [C, T] block (T multiple of 4)."""
+        import jax.numpy as jnp
+
+        blk = jnp.asarray(block)
+        with self._lock:
+            if self._pipe.meters:
+                self._state = self._update(self._state, blk)
+            w = self._ring.shape[-1]
+            if block.shape[-1] >= w:
+                self._ring[:] = block[..., -w:]
+            else:
+                self._ring = np.roll(self._ring, -block.shape[-1], axis=-1)
+                self._ring[..., -block.shape[-1]:] = block
+            self.fed_samples += block.shape[-1]
+            self.generation += 1
+
+    def _read_one(self, n):
+        """One meter's current readout (host pytree). Lock must be held."""
+        import jax
+
+        if n in self._display:
+            m, w, proc = self._display[n]
+            out, _ = proc(m.init(()), self._ring[..., -w:])
+        else:
+            outs, self._state = self._read(self._state)
+            out = outs[n]
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def snapshot(self) -> dict:
+        import jax
+
+        with self._lock:
+            pouts, self._state = self._read(self._state)
+            outs = {
+                n: self._read_one(n) if n in self._display
+                else jax.tree_util.tree_map(np.asarray, pouts[n])
+                for n in self.names
+            }
+        return outs
+
+    def frame(self, n: str) -> bytes:
+        """Current PNG view for meter n (cached per feed generation)."""
+        from .utils.png import encode_png
+        from .utils.render import meter_view
+
+        with self._lock:
+            gen = self.generation
+            hit = self._frames.get(n)
+            if hit is not None and hit[0] == gen:
+                return hit[1]
+            out = self._read_one(n)
+        img = meter_view(n, out, self.fs)
+        png = encode_png(img) if img is not None else b""
+        with self._lock:
+            self._frames[n] = (gen, png)
+        return png
+
+    def control(self, action: str, meter: str | None = None):
+        """Transport controls (gui/ebur.c button row; ebu_r128_proc.h
+        integr_start/integr_pause/integr_reset).  'reset' re-inits any
+        non-r128 meter — the plugin-reinstantiation analog."""
+        if action not in _CONTROLS:
+            raise ValueError(f"unknown control {action!r}")
+        with self._lock:
+            targets = [meter] if meter else list(self._pipe.meters)
+            for n in targets:
+                if n not in self._pipe.meters:
+                    continue
+                m = self._pipe.meters[n]
+                if n == "r128":
+                    fn = getattr(m, f"integr_{action}")
+                    self._state[n] = fn(self._state[n])
+                elif action == "reset":
+                    self._state[n] = self._pipe.init(())[n]
+            self.generation += 1
+
+
+_PAGE = """<!doctype html><title>meters_lv2_tpu live</title>
+<body style="background:#111;color:#ddd;font-family:monospace">
+<h3>meters_lv2_tpu live</h3>
+<div id=bar>
+ <button onclick="ctl('start')">integr start</button>
+ <button onclick="ctl('pause')">integr pause</button>
+ <button onclick="ctl('reset')">integr reset</button>
+ <span id=stat></span></div>
+<div id=views></div>
+<script>
+const meters = %METERS%; const fps = %FPS%;
+const views = document.getElementById('views');
+for (const m of meters) {
+  const d = document.createElement('div');
+  d.style = 'display:inline-block;margin:6px;text-align:center';
+  d.innerHTML = `<div>${m}</div><img id="im_${m}"
+    style="image-rendering:pixelated;min-width:160px">`;
+  views.appendChild(d);
+}
+function ctl(a){fetch('/ctl?action='+a);}
+setInterval(() => {
+  const t = Date.now();
+  for (const m of meters)
+    document.getElementById('im_'+m).src = `/view/${m}.png?t=${t}`;
+  fetch('/state.json').then(r=>r.json()).then(s=>{
+    document.getElementById('stat').textContent =
+      ` fed ${(s._fed_samples/s._fs).toFixed(1)} s`;});
+}, 1000/fps);
+</script>"""
+
+
+def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0):
+    """Embedded dashboard server.  Returns a ThreadingHTTPServer (call
+    serve_forever() / shutdown())."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            try:
+                if u.path in ("/", "/index.html"):
+                    page = (_PAGE
+                            .replace("%METERS%", json.dumps(engine.names))
+                            .replace("%FPS%", str(fps)))
+                    self._send(200, "text/html", page.encode())
+                elif u.path.startswith("/view/") and u.path.endswith(".png"):
+                    n = u.path[len("/view/"):-len(".png")]
+                    if n not in engine.names:
+                        self._send(404, "text/plain", b"unknown meter")
+                        return
+                    self._send(200, "image/png", engine.frame(n))
+                elif u.path == "/state.json":
+                    outs = {n: _to_py(o) for n, o in engine.snapshot().items()}
+                    outs["_fed_samples"] = engine.fed_samples
+                    outs["_fs"] = engine.fs
+                    self._send(200, "application/json",
+                               json.dumps(outs).encode())
+                elif u.path == "/ctl":
+                    q = parse_qs(u.query)
+                    engine.control(q.get("action", [""])[0],
+                                   q.get("meter", [None])[0])
+                    self._send(200, "text/plain", b"ok")
+                else:
+                    self._send(404, "text/plain", b"not found")
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # surface engine errors to the client
+                self._send(500, "text/plain", repr(e).encode())
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def feed_file(engine: LiveEngine, data: np.ndarray, fs: float,
+              chunk: int, speed: float, stop=None):
+    """Pace [C, T] data through the engine at speed x realtime
+    (0 = unpaced), like the JACK process() callback cadence."""
+    from .io.stream import chunk_array
+
+    t0 = time.monotonic()
+    fed = 0
+    for blk in chunk_array(data, chunk):
+        if stop is not None and stop.is_set():
+            break
+        engine.feed(blk)
+        fed += blk.shape[-1]
+        if speed > 0:
+            lag = fed / (fs * speed) - (time.monotonic() - t0)
+            if lag > 0:
+                time.sleep(lag)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="meters_lv2_tpu.live", description=__doc__)
+    ap.add_argument("file", help="WAV file to stream")
+    ap.add_argument("--meters", default="r128,truepeak")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--fps", type=float, default=10.0)
+    ap.add_argument(
+        "--speed", type=float, default=1.0,
+        help="pacing in x realtime; 0 = as fast as the device goes")
+    ap.add_argument("--chunk-seconds", type=float, default=0.5)
+    ap.add_argument("--loop", action="store_true",
+                    help="restart the file when it ends")
+    args = ap.parse_args(argv)
+
+    from .io.wav import read_wav
+
+    data, fs = read_wav(args.file)
+    if data.ndim == 1:
+        data = data[None]
+    names = [m.strip() for m in args.meters.split(",") if m.strip()]
+    if names == ["all"]:
+        from .__main__ import applicable_meters
+
+        names = applicable_meters(data.shape[0])
+    for n in names:
+        if n not in METER_CHOICES:
+            ap.error(f"unknown meter {n!r}")
+
+    engine = LiveEngine(names, fs, data.shape[0])
+    srv = make_server(engine, args.port, args.fps)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    print(f"live: http://127.0.0.1:{srv.server_address[1]}/ "
+          f"({','.join(names)})", flush=True)
+    chunk = max(4, int(fs * args.chunk_seconds) // 4 * 4)
+    try:
+        while True:
+            feed_file(engine, data, fs, chunk, args.speed)
+            if not args.loop:
+                break
+        print("stream done; serving final state (ctrl-C to exit)",
+              flush=True)
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,7 +197,11 @@ class EbuR128Meter:
     def integr_pause(self, state):
         return dataclasses.replace(state, integrating=jnp.zeros_like(state.integrating))
 
-    def integr_reset(self, state):  # ebu_r128_proc.cc:131-144
+    def integr_reset(self, state):
+        """User-facing reset: the reference GUI RESET button runs
+        ebu_reset (src/ebulv2.cc:45-60) = Ebu_r128_proc::integr_reset
+        (ebu_r128_proc.cc:192-204) PLUS integration_time = 0 and
+        tp_max = -inf — so the sample counter and held dBTP clear too."""
         b = state.loud_m.shape
         neg = jnp.full(b, -200.0, self.dtype)
         return dataclasses.replace(
@@ -211,6 +215,9 @@ class EbuR128Meter:
             div2=jnp.zeros_like(state.div2),
             hist_m_snap=jnp.zeros_like(state.hist_m_snap),
             count_m_snap=jnp.zeros_like(state.count_m_snap),
+            n_lo=jnp.zeros_like(state.n_lo),
+            n_hi=jnp.zeros_like(state.n_hi),
+            dbtp=jnp.zeros_like(state.dbtp),
         )
 
     # -- processing ----------------------------------------------------------

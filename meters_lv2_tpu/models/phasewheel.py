@@ -86,10 +86,48 @@ class PhaseWheel:
         T = lr.shape[-1]
         use_fused, interp = _fused_mode(self.stft, T)
         D = self.stft.data_size
+        import os as _os
+
+        inkernel = _os.environ.get("METERS_TPU_PW_KERNEL_ANALYSIS", "0") == "1"
+        if use_fused and inkernel:
+            # fully-fused variant: power/atan2/thresholds run INSIDE the
+            # kernel ('phasewheel' mode — halves the analyzer's HBM
+            # traffic: dphi+level out instead of 2x re/im).  Measured
+            # against the raw+XLA default in docs/BENCHMARKS.md round 4.
+            W = self.stft.window_size
+            ext = jnp.concatenate([state.stft.tail, lr], axis=-1)
+            dphi, level = pallas_stft.analyzer_frames(
+                ext, self.stft.win, self.stft.hop, "phasewheel",
+                self.db_thresh, interpret=interp,
+            )
+            ok = level > -99.0
+            fpk = jnp.max(jnp.maximum(level, 0.0), -1)  # [..., F]
+
+            def pk_step(p, f):
+                p = p + 0.04 * (f - p) + 1e-15
+                p = jnp.clip(jnp.where(jnp.isnan(p), 0.0, p), None, 1000.0)
+                return p, p
+
+            peak, _ = jax.lax.scan(
+                pk_step, state.peak, jnp.moveaxis(fpk, -1, 0)
+            )
+            cor_st = self.cor.update(state.cor, lr)
+            corr, cor_st = self.cor.read(cor_st)
+            new = PhaseWheelState(
+                stft=fft_ops.STFTState(
+                    tail=ext[..., -W:], phase_h=state.stft.phase_h
+                ),
+                peak=peak, cor=cor_st,
+            )
+            return {
+                "phase": dphi, "level": level, "peak": peak,
+                "correlation": corr,
+            }, new
         if use_fused:
             # fused Pallas STFT emits raw per-channel (re, im); the
             # analysis below runs as ONE fused XLA elementwise pass
-            # (in-kernel atan2 measured 2.4x slower end-to-end)
+            # (in-kernel atan2 was 2.4x slower on the PRE-operator-fusion
+            # kernel; the fully-fused variant above re-measures it)
             W = self.stft.window_size
             ext = jnp.concatenate([state.stft.tail, lr], axis=-1)
             re, im = pallas_stft.analyzer_frames(

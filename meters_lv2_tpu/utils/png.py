@@ -21,8 +21,8 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write [H, W, 4] uint8 RGBA (or [H, W, 3] RGB / [H, W] gray)."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode [H, W, 4] uint8 RGBA (or [H, W, 3] RGB / [H, W] gray)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = np.clip(img, 0, 255).astype(np.uint8)
@@ -33,11 +33,16 @@ def write_png(path: str, img: np.ndarray) -> None:
     color_type = 6 if c == 4 else 2
     # filter byte 0 (None) per scanline
     raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR",
+                 struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write [H, W, 4] uint8 RGBA (or [H, W, 3] RGB / [H, W] gray)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_chunk(
-            b"IHDR",
-            struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0),
-        ))
-        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_chunk(b"IEND", b""))
+        f.write(encode_png(img))

@@ -507,3 +507,57 @@ def stereoscope_image(
     # center (mono) line
     img[:, size // 2, :3] = np.maximum(img[:, size // 2, :3], 45)
     return img
+
+
+def meter_view(name: str, o, fs: float) -> np.ndarray | None:
+    """Render ONE meter's (unbatched) readout dict to its inline view.
+
+    The single routing table from meter name -> view, shared by the batch
+    CLI (--render-dir) and the live viewer — the analog of the reference's
+    per-plugin inline-display dispatch (src/meters.cc queue_draw -> the
+    dpy_* renderer each plugin registers)."""
+    _needle_types = {
+        "vu": db.MT_VU, "din": db.MT_DIN, "nor": db.MT_NOR,
+        "bbc": db.MT_BBC, "ebu": db.MT_EBU,
+    }
+    _kranges = {"k12": 12.0, "k14": 14.0, "k20": 20.0}
+
+    def _db(v):
+        return 20.0 * np.log10(np.maximum(np.asarray(v, np.float64), 1e-10))
+
+    if name == "r128":
+        return radar_image(o["radar_m"], int(o["radar_pos"]))
+    if name in _needle_types:
+        v = o if not isinstance(o, dict) else next(iter(o.values()))
+        return needle_image(float(np.max(v)), _needle_types[name])
+    if name == "bbcms":
+        return needle_image(float(o["mid"]), db.MT_BM6)
+    if name == "cor":
+        v = o if not isinstance(o, dict) else o["correlation"]
+        return cor_image(float(np.asarray(v)))
+    if name in _kranges:
+        rms_db = 20.0 * np.log10(max(float(np.max(o["rms"])), 1e-10))
+        return bargraph_image(rms_db, _kranges[name])
+    if name == "spectrum":
+        return spectrum_image(o["bands"], o.get("peaks"))
+    if name == "sigdist":
+        return sigdist_image(o["hist"])
+    if name == "bitmeter":
+        return bitmeter_image(o["hit"], o["one"])
+    if name == "truepeak":
+        # dBTP digital bargraph + held-peak tick (src/dpy_bargraph.c)
+        return surround_image(_db(o["level"]), _db(o["peak"]), None, width=80)
+    if name in ("dr14", "tpnrms"):
+        dr = float(o["dr_total"]) if "dr_total" in o else 21.0
+        return dr14_image(dr, o["v_rms"], o["v_peak"])
+    if name == "surround":
+        return surround_image(_db(o["level"]), _db(o["peak"]), o["correlation"])
+    if name == "goniometer":
+        return goniometer_image(o["x"], o["y"], gain=float(o["gain"]))
+    if name == "phasewheel":
+        nb = o["phase"].shape[-1]
+        return phasewheel_image(
+            o["phase"][-1], o["level"][-1], fs / (2.0 * nb))
+    if name == "stereoscope":
+        return stereoscope_image(o["lr"], o["level"])
+    return None

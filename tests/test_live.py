@@ -1,0 +1,96 @@
+"""Live streaming shell (meters_lv2_tpu.live): engine semantics, transport
+controls, and the embedded dashboard server — the capability analog of the
+reference's standalone JACK apps (Makefile:281-446) and the EBU GUI button
+row (gui/ebur.c integr start/pause/reset)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from meters_lv2_tpu.live import LiveEngine, feed_file, make_server
+from tests.signals import make_signal
+
+FS = 48000
+
+
+def _stereo(seconds=1.0):
+    return make_signal("sine997", seconds)  # [2, T], −18/−20 dBFS tones
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = LiveEngine(["r128", "truepeak", "vu", "goniometer"], FS, 2)
+    feed_file(eng, _stereo(1.0), FS, chunk=FS // 2, speed=0.0)
+    return eng
+
+
+def test_engine_feed_and_snapshot(engine):
+    assert engine.fed_samples == FS
+    outs = engine.snapshot()
+    assert set(outs) == {"r128", "truepeak", "vu", "goniometer"}
+    # momentary loudness of the −18/−20 dBFS tone pair is in a sane band
+    # (K-weighting ≈ 0 dB at 1 kHz, +sum of the two channels)
+    m = float(outs["r128"]["loudness_M"])
+    assert -20.0 < m < -12.0
+    assert float(np.max(outs["truepeak"]["peak"])) > 0.05
+    assert outs["goniometer"]["x"].shape[-1] > 0
+
+
+def test_frame_png_and_cache(engine):
+    png = engine.frame("r128")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert engine.frame("r128") is png  # same generation -> cached bytes
+    for n in ("truepeak", "vu", "goniometer"):
+        assert engine.frame(n)[:8] == b"\x89PNG\r\n\x1a\n"
+    engine.feed(np.zeros((2, 4), np.float32))
+    assert engine.frame("r128") is not png  # new generation re-renders
+
+
+def test_integration_pause_and_reset():
+    eng = LiveEngine(["r128"], FS, 2)
+    blk = _stereo(0.5)
+    eng.feed(blk)
+    n1 = int(np.asarray(eng._state["r128"].n_lo))
+    eng.control("pause")
+    eng.feed(blk)
+    assert int(np.asarray(eng._state["r128"].n_lo)) == n1  # frozen
+    eng.control("start")
+    eng.feed(blk)
+    assert int(np.asarray(eng._state["r128"].n_lo)) == 2 * n1
+    eng.control("reset")
+    assert int(np.asarray(eng._state["r128"].n_lo)) == 0
+
+
+def test_reset_reinits_other_meters():
+    eng = LiveEngine(["vu"], FS, 2)
+    eng.feed(_stereo(0.5))
+    assert float(np.max(np.asarray(eng._read_one("vu")))) > 1e-4
+    eng.control("reset")
+    out = eng._read_one("vu")
+    assert float(np.max(np.abs(np.asarray(out)))) < 1e-4
+
+
+def test_http_server_endpoints(engine):
+    srv = make_server(engine, port=0, fps=5.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "r128" in page and "meters_lv2_tpu live" in page
+        png = urllib.request.urlopen(f"{base}/view/r128.png?t=1").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        st = json.loads(
+            urllib.request.urlopen(f"{base}/state.json").read())
+        assert st["_fed_samples"] == engine.fed_samples
+        assert "integrated" in st["r128"]
+        assert urllib.request.urlopen(
+            f"{base}/ctl?action=pause&meter=r128").read() == b"ok"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/view/nope.png")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()

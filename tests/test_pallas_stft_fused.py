@@ -101,3 +101,25 @@ def test_fused_gate_rejects_441k(_modes):
     stft48 = fft_ops.STFT(48000)
     use, interp = _fused_mode(stft48, 48000)
     assert use and interp
+
+
+def test_phasewheel_inkernel_analysis_matches_raw(_modes):
+    """'phasewheel' kernel mode (power/atan2/thresholds in VMEM) vs the
+    default raw+XLA analysis: same masks, phase to Cephes-poly rounding."""
+    x = _signal(seed=9)
+    ref1, ref2 = _run_phasewheel("interpret", x)
+    os.environ["METERS_TPU_PW_KERNEL_ANALYSIS"] = "1"
+    try:
+        got1, got2 = _run_phasewheel("interpret", x)
+    finally:
+        os.environ.pop("METERS_TPU_PW_KERNEL_ANALYSIS", None)
+    for ref, got in ((ref1, got1), (ref2, got2)):
+        mr, mg = ref["level"] > -99, got["level"] > -99
+        np.testing.assert_array_equal(mr, mg)  # identical power path
+        both = mr & mg
+        np.testing.assert_allclose(
+            got["level"][both], ref["level"][both], rtol=1e-6)
+        # kernel atan2 is the Cephes minimax polynomial (~1e-7 abs)
+        np.testing.assert_allclose(
+            got["phase"][both], ref["phase"][both], atol=5e-7)
+        np.testing.assert_allclose(got["peak"], ref["peak"], rtol=1e-5)
