@@ -49,7 +49,49 @@ def applicable_meters(nchan: int) -> list[str]:
     return out
 
 
-def build_meter(name: str, fs: float, nchan: int, surround_pairs=None):
+def validate_meters(spec: str, nchan: int, error) -> list[str]:
+    """Expand a '--meters' comma list ('all' -> applicable_meters) and
+    check each name + its channel-count constraint, reporting failures
+    through `error` (argparse .error or any raiser).  Shared by the batch
+    CLI and the live shell."""
+    names = [m.strip() for m in spec.split(",") if m.strip()]
+    if names == ["all"]:
+        return applicable_meters(nchan)
+    for n in names:
+        if n not in METER_CHOICES:
+            error(f"unknown meter {n!r}")
+        if n in _STEREO_ONLY and nchan != 2:
+            error(f"meter {n!r} needs stereo input, files have "
+                  f"{nchan} channels")
+        # channel-count constraints mirror applicable_meters() so an
+        # explicit request fails as an argparse error, not an assert
+        if n == "surround" and not (3 <= nchan <= 8):
+            error(f"surround needs 3..8 channels, files have {nchan}")
+        if n == "r128" and nchan > 5:  # MAXCH=5 (ebu_r128_proc.h:26)
+            error(f"r128 supports at most 5 channels, files have {nchan}")
+    return names
+
+
+def parse_surround_pairs(spec, nchan: int, error):
+    """Parse '--surround-pairs A:B,...' (surc_a/b routing ports,
+    src/surmeter.c:119-128): 3 pairs for 3-channel, else 4."""
+    if not spec:
+        return None
+    npair = 4 if nchan > 3 else 3
+    pairs = tuple(
+        tuple(int(v) for v in p.split(":")) for p in spec.split(",")
+    )
+    if len(pairs) != npair:
+        error(f"--surround-pairs needs {npair} A:B pairs for "
+              f"{nchan} channels")
+    return pairs
+
+
+def build_meter(name: str, fs: float, nchan: int, surround_pairs=None,
+                runtime_ports: bool = False):
+    """runtime_ports=True builds meters with their runtime-mutable control
+    ports enabled (r128 radar interval as traced state) — used by the live
+    shell, where controls arrive mid-stream like LV2 port writes."""
     from .models import (
         cor, dr14, ebur128, goniometer, kmeter, needle, phasewheel,
         sigdist, spectrum, surround, truepeak, bitmeter,
@@ -63,7 +105,8 @@ def build_meter(name: str, fs: float, nchan: int, surround_pairs=None):
         return cls(fs, pairs=surround_pairs)
 
     table = {
-        "r128": lambda: ebur128.EbuR128Meter(fs, nchan=nchan),
+        "r128": lambda: ebur128.EbuR128Meter(
+            fs, nchan=nchan, runtime_radar_speed=runtime_ports),
         "truepeak": lambda: truepeak.TruePeakMeter(fs),
         "vu": lambda: needle.VUMeter(fs),
         "din": lambda: needle.DINMeter(fs),
@@ -183,9 +226,17 @@ def main(argv=None):
              " reference's surc_a/surc_b ports, src/surmeter.c:119-128);"
              " e.g. 0:1,2:3,0:4,1:4",
     )
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the host sitecustomize overrides"
+             " JAX_PLATFORMS, so an env var cannot)",
+    )
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from .io.batch import load_files
@@ -195,32 +246,10 @@ def main(argv=None):
     B, C, T = batch.data.shape
     fs = batch.rate
 
-    names = [m.strip() for m in args.meters.split(",") if m.strip()]
-    if names == ["all"]:
-        names = applicable_meters(C)
-    for n in names:
-        if n not in METER_CHOICES:
-            ap.error(f"unknown meter {n!r}")
-        if n in _STEREO_ONLY and C != 2:
-            ap.error(f"meter {n!r} needs stereo input, files have {C} channels")
-        # channel-count constraints mirror applicable_meters() so an
-        # explicit request fails as an argparse error, not an assert
-        if n == "surround" and not (3 <= C <= 8):
-            ap.error(f"surround needs 3..8 channels, files have {C}")
-        if n == "r128" and C > 5:  # MAXCH=5 (ebu_r128_proc.h:26)
-            ap.error(f"r128 supports at most 5 channels, files have {C}")
+    names = validate_meters(args.meters, C, ap.error)
     disp_names = [n for n in names if n in DISPLAY_METERS]
     pipe_names = [n for n in names if n not in DISPLAY_METERS]
-    spairs = None
-    if args.surround_pairs:
-        npair = 4 if C > 3 else 3
-        spairs = tuple(
-            tuple(int(v) for v in p.split(":"))
-            for p in args.surround_pairs.split(",")
-        )
-        if len(spairs) != npair:
-            ap.error(f"--surround-pairs needs {npair} A:B pairs for "
-                     f"{C} channels")
+    spairs = parse_surround_pairs(args.surround_pairs, C, ap.error)
     pipe = MeterPipeline(
         {n: build_meter(n, fs, C, surround_pairs=spairs)
          for n in pipe_names}, nchan=C

@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-from .__main__ import METER_CHOICES, DISPLAY_METERS, build_meter, _to_py
+from .__main__ import DISPLAY_METERS, build_meter, _to_py
 
 _CONTROLS = ("start", "pause", "reset")  # gui/ebur.c BTN_START/PAUSE/RESET
 
@@ -53,7 +53,8 @@ class LiveEngine:
         win = 0
         pipe_meters = {}
         for n in self.names:
-            m = build_meter(n, fs, nchan, surround_pairs=surround_pairs)
+            m = build_meter(n, fs, nchan, surround_pairs=surround_pairs,
+                            runtime_ports=True)
             if n in DISPLAY_METERS:
                 hop = m.stft.hop if hasattr(m, "stft") else 4
                 w = hop * max(1, int(round(fs / hop)))  # ~1 s, hop-aligned
@@ -65,6 +66,12 @@ class LiveEngine:
         # the same channel routing as the batch CLI (MeterPipeline._mode)
         self._pipe = MeterPipeline(pipe_meters, nchan=nchan)
         self._state = self._pipe.init(())
+        # traced control ports (LV2 port-write analog): values swap
+        # mid-stream without recompiling the update program
+        self._controls = (
+            {"bbcms": {"s20": np.asarray(False)}}
+            if "bbcms" in pipe_meters else {}
+        )
         self._update = jax.jit(self._pipe.update)
         self._read = jax.jit(self._pipe.read)
         # trailing-window ring for the GUI-thread analyzers (the analog of
@@ -81,7 +88,7 @@ class LiveEngine:
         blk = jnp.asarray(block)
         with self._lock:
             if self._pipe.meters:
-                self._state = self._update(self._state, blk)
+                self._state = self._update(self._state, blk, self._controls)
             w = self._ring.shape[-1]
             if block.shape[-1] >= w:
                 self._ring[:] = block[..., -w:]
@@ -151,6 +158,36 @@ class LiveEngine:
                     self._state[n] = self._pipe.init(())[n]
             self.generation += 1
 
+    # runtime control ports: (meter, param) -> setter.  Each is either a
+    # pure state update (no recompile; spectrumlv2.c:161-177 speed,
+    # src/ebulv2.cc:75-78 radar time) or a traced update() port swap
+    # (BBC M-6 s20, src/meters.cc:562-563).
+    PORTS = {
+        ("spectrum", "speed"): "_set_spectrum_speed",
+        ("r128", "radar_seconds"): "_set_radar_seconds",
+        ("bbcms", "s20"): "_set_s20",
+    }
+
+    def set_port(self, meter: str, param: str, value: float):
+        """Write one runtime control port, like an LV2 port event."""
+        setter = self.PORTS.get((meter, param))
+        if setter is None or meter not in self._pipe.meters:
+            raise ValueError(f"unknown port {meter}.{param}")
+        with self._lock:
+            getattr(self, setter)(float(value))
+            self.generation += 1
+
+    def _set_spectrum_speed(self, v):
+        m = self._pipe.meters["spectrum"]
+        self._state["spectrum"] = m.set_speed(self._state["spectrum"], v)
+
+    def _set_radar_seconds(self, v):
+        m = self._pipe.meters["r128"]
+        self._state["r128"] = m.set_radar_speed(self._state["r128"], v)
+
+    def _set_s20(self, v):
+        self._controls["bbcms"]["s20"] = np.asarray(bool(v))
+
 
 _PAGE = """<!doctype html><title>meters_lv2_tpu live</title>
 <body style="background:#111;color:#ddd;font-family:monospace">
@@ -159,6 +196,7 @@ _PAGE = """<!doctype html><title>meters_lv2_tpu live</title>
  <button onclick="ctl('start')">integr start</button>
  <button onclick="ctl('pause')">integr pause</button>
  <button onclick="ctl('reset')">integr reset</button>
+ <span id=ports></span>
  <span id=stat></span></div>
 <div id=views></div>
 <script>
@@ -172,6 +210,17 @@ for (const m of meters) {
   views.appendChild(d);
 }
 function ctl(a){fetch('/ctl?action='+a);}
+function port(m,p,v){fetch(`/ctl?action=set&meter=${m}&param=${p}&value=${v}`);}
+const ports = document.getElementById('ports');
+if (meters.includes('spectrum')) ports.innerHTML +=
+  ` spectrum speed <input type=number value=2 min=0.01 max=15 step=0.5
+    style="width:4em" onchange="port('spectrum','speed',this.value)">`;
+if (meters.includes('r128')) ports.innerHTML +=
+  ` radar <input type=number value=120 min=30 max=720 step=30
+    style="width:4em" onchange="port('r128','radar_seconds',this.value)">s`;
+if (meters.includes('bbcms')) ports.innerHTML +=
+  ` <label>S20 <input type=checkbox
+    onchange="port('bbcms','s20',this.checked?1:0)"></label>`;
 setInterval(() => {
   const t = Date.now();
   for (const m of meters)
@@ -223,8 +272,13 @@ def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0):
                                json.dumps(outs).encode())
                 elif u.path == "/ctl":
                     q = parse_qs(u.query)
-                    engine.control(q.get("action", [""])[0],
-                                   q.get("meter", [None])[0])
+                    action = q.get("action", [""])[0]
+                    meter = q.get("meter", [None])[0]
+                    if action == "set":
+                        engine.set_port(meter, q.get("param", [""])[0],
+                                        float(q.get("value", ["0"])[0]))
+                    else:
+                        engine.control(action, meter)
                     self._send(200, "text/plain", b"ok")
                 else:
                     self._send(404, "text/plain", b"not found")
@@ -268,23 +322,28 @@ def main(argv=None):
     ap.add_argument("--chunk-seconds", type=float, default=0.5)
     ap.add_argument("--loop", action="store_true",
                     help="restart the file when it ends")
+    ap.add_argument("--surround-pairs", default=None,
+                    help="surround correlator routing, e.g. 0:1,2:3,...")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the host sitecustomize"
+                         " overrides JAX_PLATFORMS, so an env var cannot)")
     args = ap.parse_args(argv)
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .__main__ import parse_surround_pairs, validate_meters
     from .io.wav import read_wav
 
     data, fs = read_wav(args.file)
     if data.ndim == 1:
         data = data[None]
-    names = [m.strip() for m in args.meters.split(",") if m.strip()]
-    if names == ["all"]:
-        from .__main__ import applicable_meters
+    names = validate_meters(args.meters, data.shape[0], ap.error)
+    spairs = parse_surround_pairs(args.surround_pairs, data.shape[0],
+                                  ap.error)
 
-        names = applicable_meters(data.shape[0])
-    for n in names:
-        if n not in METER_CHOICES:
-            ap.error(f"unknown meter {n!r}")
-
-    engine = LiveEngine(names, fs, data.shape[0])
+    engine = LiveEngine(names, fs, data.shape[0], surround_pairs=spairs)
     srv = make_server(engine, args.port, args.fps)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     print(f"live: http://127.0.0.1:{srv.server_address[1]}/ "

@@ -78,27 +78,37 @@ class MeterPipeline:
                 out[name] = m.init(batch_shape)
         return out
 
-    def update(self, state, x):
-        """x: [..., C, T]."""
+    def update(self, state, x, controls=None):
+        """x: [..., C, T].
+
+        `controls` optionally maps meter name -> extra update() keyword
+        ports whose values may be TRACED arrays (e.g. the BBC M-6 s20
+        toggle) — the control-port analog: the reference re-reads such
+        ports every run() (src/meters.cc:562-563), so flipping one
+        mid-stream must not recompile.  Pass the same pytree structure
+        each call with new leaf values."""
         new = {}
         for name, m in self.meters.items():
             mode = _mode(m)
+            kw = dict((controls or {}).get(name, {}))
             if mode == "per_channel":
-                new[name] = m.update(state[name], x)
+                new[name] = m.update(state[name], x, **kw)
             elif mode == "mono":
-                new[name] = m.update(state[name], x[..., 0, :])
+                new[name] = m.update(state[name], x[..., 0, :], **kw)
             elif mode == "stereo_mix":
                 C = x.shape[-2]
                 if C == 2:
-                    new[name] = m.update(state[name], x, stereo=True)
+                    new[name] = m.update(state[name], x, stereo=True, **kw)
                 elif C == 1:
-                    new[name] = m.update(state[name], x[..., 0, :])
+                    new[name] = m.update(state[name], x[..., 0, :], **kw)
                 else:  # >2 channels: equal-weight downmix (generalizes the
                     # reference's stereo (l+r)/2, spectrumlv2.c:195-201)
-                    new[name] = m.update(state[name], jnp.mean(x, axis=-2))
+                    new[name] = m.update(
+                        state[name], jnp.mean(x, axis=-2), **kw
+                    )
             else:
                 if hasattr(m, "update"):
-                    new[name] = m.update(state[name], x)
+                    new[name] = m.update(state[name], x, **kw)
                 else:  # display processors expose process()
                     _, new[name] = m.process(state[name], x)
         return new

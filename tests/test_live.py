@@ -73,6 +73,56 @@ def test_reset_reinits_other_meters():
     assert float(np.max(np.abs(np.asarray(out)))) < 1e-4
 
 
+def test_s20_port_toggles_side_gain_without_recompile():
+    """BBC M-6 s20 port (src/meters.cc:562-563): side gain -6 -> +14 dB
+    mid-stream through ONE compiled update program."""
+    eng = LiveEngine(["bbcms"], FS, 2)
+    sig = _stereo(0.5)
+    side_sig = np.stack([sig[0], -sig[0]])  # pure side content
+    eng.feed(side_sig)
+    lo = float(np.asarray(eng._read_one("bbcms")["side"]))
+    eng.set_port("bbcms", "s20", 1)
+    # steady-state: feed enough for the ballistics to re-settle
+    for _ in range(4):
+        eng.feed(side_sig)
+    hi = float(np.asarray(eng._read_one("bbcms")["side"]))
+    np.testing.assert_allclose(hi / lo, 10.0, rtol=0.05)  # +20 dB
+    assert eng._update._cache_size() == 1  # traced port: no recompile
+
+
+def test_spectrum_and_radar_ports():
+    eng = LiveEngine(["spectrum", "r128"], FS, 2)
+    om0 = float(np.asarray(eng._state["spectrum"].omega))
+    eng.set_port("spectrum", "speed", 8.0)
+    assert float(np.asarray(eng._state["spectrum"].omega)) > om0
+    spd0 = int(np.asarray(eng._state["r128"].radar_spd))
+    eng.set_port("r128", "radar_seconds", 240.0)
+    assert int(np.asarray(eng._state["r128"].radar_spd)) == 2 * spd0
+    with pytest.raises(ValueError):
+        eng.set_port("spectrum", "nope", 1.0)
+    with pytest.raises(ValueError):
+        eng.set_port("vu", "speed", 1.0)  # meter not in this engine
+
+
+def test_http_set_port_endpoint():
+    eng = LiveEngine(["spectrum"], FS, 2)
+    srv = make_server(eng, port=0, fps=5.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        om0 = float(np.asarray(eng._state["spectrum"].omega))
+        r = urllib.request.urlopen(
+            f"{base}/ctl?action=set&meter=spectrum&param=speed&value=9.0")
+        assert r.read() == b"ok"
+        assert float(np.asarray(eng._state["spectrum"].omega)) > om0
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"{base}/ctl?action=set&meter=spectrum&param=zz&value=1")
+        assert ei.value.code == 500
+    finally:
+        srv.shutdown()
+
+
 def test_http_server_endpoints(engine):
     srv = make_server(engine, port=0, fps=5.0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
