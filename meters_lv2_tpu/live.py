@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -188,6 +189,42 @@ class LiveEngine:
     def _set_s20(self, v):
         self._controls["bbcms"]["s20"] = np.asarray(bool(v))
 
+    # -- session persistence --------------------------------------------
+    # The LV2 State analog (src/ebulv2.cc:514-553 persists ui_settings |
+    # transport | radar_speed; measurement state restarts on resume).
+    # Here the FULL measurement state round-trips, so a monitoring
+    # session survives restarts with its histograms/radar/integration
+    # intact — strictly more than the reference persists.
+
+    def _session_tree(self):
+        return {
+            "state": self._state,
+            "controls": self._controls,
+            "ring": self._ring,
+            "fed": np.int64(self.fed_samples),
+        }
+
+    def save(self, path: str):
+        from .utils.state import save_state
+
+        with self._lock:
+            save_state(self._session_tree(), path)
+
+    def load(self, path: str):
+        from .utils.state import load_state
+
+        with self._lock:
+            got = load_state(self._session_tree(), path)
+            self._state = got["state"]
+            # control ports and the ring live host-side
+            self._controls = {
+                m: {k: np.asarray(v) for k, v in ports.items()}
+                for m, ports in got["controls"].items()
+            }
+            self._ring = np.array(got["ring"])  # writable host copy
+            self.fed_samples = int(got["fed"])
+            self.generation += 1
+
 
 _PAGE = """<!doctype html><title>meters_lv2_tpu live</title>
 <body style="background:#111;color:#ddd;font-family:monospace">
@@ -232,9 +269,12 @@ setInterval(() => {
 </script>"""
 
 
-def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0):
+def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0,
+                state_file: str | None = None):
     """Embedded dashboard server.  Returns a ThreadingHTTPServer (call
-    serve_forever() / shutdown())."""
+    serve_forever() / shutdown()).  With `state_file`, /save and /load
+    checkpoint/restore the whole session at that preconfigured path
+    (never a client-supplied one)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
@@ -279,6 +319,16 @@ def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0):
                                         float(q.get("value", ["0"])[0]))
                     else:
                         engine.control(action, meter)
+                    self._send(200, "text/plain", b"ok")
+                elif u.path in ("/save", "/load"):
+                    if not state_file:
+                        self._send(400, "text/plain",
+                                   b"no --state-file configured")
+                        return
+                    if u.path == "/save":
+                        engine.save(state_file)
+                    else:
+                        engine.load(state_file)
                     self._send(200, "text/plain", b"ok")
                 else:
                     self._send(404, "text/plain", b"not found")
@@ -327,6 +377,11 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the host sitecustomize"
                          " overrides JAX_PLATFORMS, so an env var cannot)")
+    ap.add_argument("--state-file", default=None,
+                    help="session checkpoint path: /save and /load use it;"
+                         " with --resume, restored at startup if present")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore --state-file at startup if it exists")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -344,7 +399,13 @@ def main(argv=None):
                                   ap.error)
 
     engine = LiveEngine(names, fs, data.shape[0], surround_pairs=spairs)
-    srv = make_server(engine, args.port, args.fps)
+    if args.resume and args.state_file and os.path.exists(args.state_file):
+        engine.load(args.state_file)
+        print(f"resumed session from {args.state_file} "
+              f"({engine.fed_samples / fs:.1f} s already metered)",
+              flush=True)
+    srv = make_server(engine, args.port, args.fps,
+                      state_file=args.state_file)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     print(f"live: http://127.0.0.1:{srv.server_address[1]}/ "
           f"({','.join(names)})", flush=True)

@@ -123,6 +123,63 @@ def test_http_set_port_endpoint():
         srv.shutdown()
 
 
+def test_session_save_resume(tmp_path):
+    """Session checkpoint round-trip: a resumed engine carries the full
+    measurement state (histograms, ring, sample count, control ports) and
+    integration continues seamlessly — strictly more than the reference's
+    LV2 State persistence (src/ebulv2.cc:514-553, ui prefs only)."""
+    path = str(tmp_path / "session.npz")
+    blk = _stereo(1.0)
+    a = LiveEngine(["r128", "bbcms", "goniometer"], FS, 2)
+    a.set_port("bbcms", "s20", 1)
+    for _ in range(5):
+        a.feed(blk)
+    a.save(path)
+    for _ in range(5):
+        a.feed(blk)
+    ref = a.snapshot()
+
+    b = LiveEngine(["r128", "bbcms", "goniometer"], FS, 2)
+    b.load(path)
+    assert b.fed_samples == 5 * FS
+    assert bool(b._controls["bbcms"]["s20"])  # port value restored
+    for _ in range(5):
+        b.feed(blk)
+    got = b.snapshot()
+    for n in ref:
+        for k in ref[n]:
+            np.testing.assert_array_equal(
+                np.asarray(got[n][k]), np.asarray(ref[n][k]),
+                err_msg=f"{n}.{k}")
+
+
+def test_http_save_load_endpoints(tmp_path):
+    path = str(tmp_path / "s.npz")
+    eng = LiveEngine(["vu"], FS, 2)
+    eng.feed(_stereo(0.5))
+    srv = make_server(eng, port=0, fps=5.0, state_file=path)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert urllib.request.urlopen(f"{base}/save").read() == b"ok"
+        v1 = float(np.max(np.asarray(eng._read_one("vu"))))
+        eng.control("reset")
+        assert urllib.request.urlopen(f"{base}/load").read() == b"ok"
+        v2 = float(np.max(np.asarray(eng._read_one("vu"))))
+        assert v1 == v2 and v1 > 1e-4
+    finally:
+        srv.shutdown()
+    srv2 = make_server(eng, port=0, fps=5.0)  # no state file -> 400
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base2}/save")
+        assert ei.value.code == 400
+    finally:
+        srv2.shutdown()
+
+
 def test_http_server_endpoints(engine):
     srv = make_server(engine, port=0, fps=5.0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
