@@ -84,6 +84,18 @@ def index_page(schemas) -> str:
 reference's TTL port tables) by <code>tools/gen_docs.py</code>.</p>
 <table><tr><th>meter</th><th>channels</th><th>controls</th>
 <th>readouts</th></tr>{rows}</table>
+<h2>Frontends</h2>
+<p><b>Batch CLI</b> (offline analysis, the lv2file analog):
+<code>python -m meters_lv2_tpu FILES --meters all --render-dir views/
+--json</code>.</p>
+<p><b>Live shell</b> (the standalone-JACK-app analog):
+<code>python -m meters_lv2_tpu.live FILE --meters all --speed 1</code>
+serves a dashboard at <code>http://127.0.0.1:8765/</code> with PNG
+inline views per meter, EBU transport buttons, runtime control ports
+(<code>/ctl?action=set&amp;meter=spectrum&amp;param=speed&amp;value=8</code>),
+a JSON readout (<code>/state.json</code>), and session checkpoint /
+resume (<code>--state-file</code>, <code>/save</code>,
+<code>/load</code>, <code>--resume</code>).</p>
 <p>See <code>docs/API.md</code> for per-meter runnable examples.</p>
 </body></html>
 """
