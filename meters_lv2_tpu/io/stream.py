@@ -14,14 +14,17 @@ from typing import Callable, Iterable, Iterator
 import numpy as np
 
 
-def chunk_array(x: np.ndarray, chunk: int) -> Iterator[np.ndarray]:
-    """Split [..., T] into chunk-sized pieces; final piece zero-padded to a
-    multiple of 4 (the meters' minimum block granularity)."""
+def chunk_array(x: np.ndarray, chunk: int, pad: bool = True) -> Iterator[np.ndarray]:
+    """Split [..., T] into chunk-sized pieces.  With pad=True the final
+    piece is zero-padded to a multiple of 4 (the meters' minimum block
+    granularity); pad=False yields exact lengths for callers that enforce
+    the padding-never-measured invariant themselves (e.g. the live shell,
+    which measures only the 4-aligned prefix of each block)."""
     T = x.shape[-1]
     for i in range(0, T, chunk):
         piece = x[..., i : i + chunk]
         rem = (-piece.shape[-1]) % 4
-        if rem:
+        if pad and rem:
             piece = np.pad(piece, [(0, 0)] * (piece.ndim - 1) + [(0, rem)])
         yield piece
 

@@ -31,7 +31,9 @@ import numpy as np
 
 from .__main__ import DISPLAY_METERS, build_meter, _to_py
 
-_CONTROLS = ("start", "pause", "reset")  # gui/ebur.c BTN_START/PAUSE/RESET
+# gui/ebur.c BTN_START/PAUSE/RESET + the radar-clear control
+# (CTL_LV2_RESETRADAR vocabulary word; EbuR128Meter.radar_reset)
+_CONTROLS = ("start", "pause", "reset", "reset_radar")
 
 
 class LiveEngine:
@@ -79,49 +81,77 @@ class LiveEngine:
         # the reference GUI reading the most recent ring-buffer audio)
         self._ring = np.zeros((nchan, max(win, 4)), np.float32)
         self.fed_samples = 0
-        self.generation = 0  # bumped per feed; frame cache key
+        self.generation = 0  # bumped per feed; readout cache key
         self._frames: dict[str, tuple[int, bytes]] = {}
+        self._snap: tuple[int, dict] | None = None
+        # host-held runtime port values (LV2 control ports live in the
+        # host and are re-read every run(), so they survive resets and
+        # seed the dashboard's initial control widgets)
+        self._port_values: dict[tuple[str, str], float] = {}
+        if "spectrum" in pipe_meters:
+            self._port_values[("spectrum", "speed")] = float(
+                pipe_meters["spectrum"].speed)
+        if "r128" in pipe_meters:
+            from .models.ebur128 import RADAR_POINTS
+
+            self._port_values[("r128", "radar_seconds")] = (
+                pipe_meters["r128"].radar_spd * RADAR_POINTS / self.fs)
+        if "bbcms" in pipe_meters:
+            self._port_values[("bbcms", "s20")] = 0.0
 
     def feed(self, block: np.ndarray):
-        """Ingest one [C, T] block (T multiple of 4)."""
+        """Ingest one [C, T] block (any T).  Only the 4-aligned prefix is
+        measured (the meters' minimum block granularity); real trailing
+        samples beyond the last multiple of 4 still reach the display
+        ring.  Zero-padding is never fed — the padding-never-measured
+        invariant of the batch path (pipeline.run_stream_ragged) holds
+        here too."""
         import jax.numpy as jnp
 
-        blk = jnp.asarray(block)
+        T = block.shape[-1]
+        T4 = T // 4 * 4
+        blk = jnp.asarray(block[..., :T4]) if T4 else None
         with self._lock:
-            if self._pipe.meters:
+            if self._pipe.meters and T4:
                 self._state = self._update(self._state, blk, self._controls)
             w = self._ring.shape[-1]
-            if block.shape[-1] >= w:
+            if T >= w:
                 self._ring[:] = block[..., -w:]
-            else:
-                self._ring = np.roll(self._ring, -block.shape[-1], axis=-1)
-                self._ring[..., -block.shape[-1]:] = block
-            self.fed_samples += block.shape[-1]
+            elif T:
+                self._ring = np.roll(self._ring, -T, axis=-1)
+                self._ring[..., -T:] = block
+            self.fed_samples += T
             self.generation += 1
 
-    def _read_one(self, n):
-        """One meter's current readout (host pytree). Lock must be held."""
+    def _outs(self) -> dict:
+        """Every meter's current readout (host pytrees), cached per
+        generation so polling at the frame rate costs one device
+        round-trip per feed, not per request.  Lock must be held."""
         import jax
 
-        if n in self._display:
-            m, w, proc = self._display[n]
-            out, _ = proc(m.init(()), self._ring[..., -w:])
-        else:
-            outs, self._state = self._read(self._state)
-            out = outs[n]
-        return jax.tree_util.tree_map(np.asarray, out)
+        gen = self.generation
+        if self._snap is not None and self._snap[0] == gen:
+            return self._snap[1]
+        outs = {}
+        if self._pipe.meters:
+            pouts, self._state = self._read(self._state)
+            for n in self._pipe.meters:
+                outs[n] = jax.tree_util.tree_map(np.asarray, pouts[n])
+        for n, (m, w, proc) in self._display.items():
+            o, _ = proc(m.init(()), self._ring[..., -w:])
+            outs[n] = jax.tree_util.tree_map(np.asarray, o)
+        self._snap = (gen, outs)
+        return outs
+
+    def _read_one(self, n):
+        """One meter's current readout (host pytree)."""
+        with self._lock:
+            return self._outs()[n]
 
     def snapshot(self) -> dict:
-        import jax
-
         with self._lock:
-            pouts, self._state = self._read(self._state)
-            outs = {
-                n: self._read_one(n) if n in self._display
-                else jax.tree_util.tree_map(np.asarray, pouts[n])
-                for n in self.names
-            }
-        return outs
+            outs = self._outs()
+        return {n: outs[n] for n in self.names}
 
     def frame(self, n: str) -> bytes:
         """Current PNG view for meter n (cached per feed generation)."""
@@ -133,7 +163,7 @@ class LiveEngine:
             hit = self._frames.get(n)
             if hit is not None and hit[0] == gen:
                 return hit[1]
-            out = self._read_one(n)
+            out = self._outs()[n]
         img = meter_view(n, out, self.fs)
         png = encode_png(img) if img is not None else b""
         with self._lock:
@@ -142,8 +172,11 @@ class LiveEngine:
 
     def control(self, action: str, meter: str | None = None):
         """Transport controls (gui/ebur.c button row; ebu_r128_proc.h
-        integr_start/integr_pause/integr_reset).  'reset' re-inits any
-        non-r128 meter — the plugin-reinstantiation analog."""
+        integr_start/integr_pause/integr_reset; 'reset_radar' clears the
+        radar ring alone, CTL_LV2_RESETRADAR).  'reset' re-inits any
+        non-r128 meter — the plugin-reinstantiation analog — and then
+        re-applies its runtime port values, since LV2 control ports are
+        host-held and re-read every run()."""
         if action not in _CONTROLS:
             raise ValueError(f"unknown control {action!r}")
         with self._lock:
@@ -153,10 +186,16 @@ class LiveEngine:
                     continue
                 m = self._pipe.meters[n]
                 if n == "r128":
-                    fn = getattr(m, f"integr_{action}")
-                    self._state[n] = fn(self._state[n])
+                    if action == "reset_radar":
+                        self._state[n] = m.radar_reset(self._state[n])
+                    else:
+                        fn = getattr(m, f"integr_{action}")
+                        self._state[n] = fn(self._state[n])
                 elif action == "reset":
                     self._state[n] = self._pipe.init(())[n]
+                    for (pm, pp), v in self._port_values.items():
+                        if pm == n:
+                            getattr(self, self.PORTS[(pm, pp)])(v)
             self.generation += 1
 
     # runtime control ports: (meter, param) -> setter.  Each is either a
@@ -176,7 +215,14 @@ class LiveEngine:
             raise ValueError(f"unknown port {meter}.{param}")
         with self._lock:
             getattr(self, setter)(float(value))
+            self._port_values[(meter, param)] = float(value)
             self.generation += 1
+
+    def port_values(self) -> dict:
+        """Current runtime port values as '{meter}.{param}' -> float
+        (seeds the dashboard's control widgets)."""
+        with self._lock:
+            return {f"{m}.{p}": v for (m, p), v in self._port_values.items()}
 
     def _set_spectrum_speed(self, v):
         m = self._pipe.meters["spectrum"]
@@ -196,12 +242,32 @@ class LiveEngine:
     # session survives restarts with its histograms/radar/integration
     # intact — strictly more than the reference persists.
 
+    def _config_sig(self) -> np.ndarray:
+        """Fixed-size digest of (meters, fs, nchan): same leaf shape in
+        every session, so load_state round-trips it and load() can reject
+        a checkpoint from a different configuration with a clear error
+        instead of positionally corrupting state."""
+        import hashlib
+
+        cfg = json.dumps(
+            {"meters": self.names, "fs": self.fs, "nchan": self.nchan},
+            sort_keys=True,
+        )
+        return np.frombuffer(
+            hashlib.sha256(cfg.encode()).digest(), np.uint8
+        ).copy()
+
     def _session_tree(self):
         return {
             "state": self._state,
             "controls": self._controls,
+            "ports": {
+                f"{m}.{p}": np.float64(v)
+                for (m, p), v in sorted(self._port_values.items())
+            },
             "ring": self._ring,
             "fed": np.int64(self.fed_samples),
+            "config": self._config_sig(),
         }
 
     def save(self, path: str):
@@ -215,11 +281,21 @@ class LiveEngine:
 
         with self._lock:
             got = load_state(self._session_tree(), path)
+            if not np.array_equal(np.asarray(got["config"]),
+                                  self._config_sig()):
+                raise ValueError(
+                    "checkpoint was saved with a different meters/fs/"
+                    "nchan configuration than this engine"
+                )
             self._state = got["state"]
             # control ports and the ring live host-side
             self._controls = {
                 m: {k: np.asarray(v) for k, v in ports.items()}
                 for m, ports in got["controls"].items()
+            }
+            self._port_values = {
+                tuple(k.split(".", 1)): float(v)
+                for k, v in got["ports"].items()
             }
             self._ring = np.array(got["ring"])  # writable host copy
             self.fed_samples = int(got["fed"])
@@ -237,7 +313,7 @@ _PAGE = """<!doctype html><title>meters_lv2_tpu live</title>
  <span id=stat></span></div>
 <div id=views></div>
 <script>
-const meters = %METERS%; const fps = %FPS%;
+const meters = %METERS%; const fps = %FPS%; const portv = %PORTVALS%;
 const views = document.getElementById('views');
 for (const m of meters) {
   const d = document.createElement('div');
@@ -250,13 +326,16 @@ function ctl(a){fetch('/ctl?action='+a);}
 function port(m,p,v){fetch(`/ctl?action=set&meter=${m}&param=${p}&value=${v}`);}
 const ports = document.getElementById('ports');
 if (meters.includes('spectrum')) ports.innerHTML +=
-  ` spectrum speed <input type=number value=2 min=0.01 max=15 step=0.5
+  ` spectrum speed <input type=number value=${portv['spectrum.speed']}
+    min=0.01 max=15 step=0.5
     style="width:4em" onchange="port('spectrum','speed',this.value)">`;
 if (meters.includes('r128')) ports.innerHTML +=
-  ` radar <input type=number value=120 min=30 max=720 step=30
-    style="width:4em" onchange="port('r128','radar_seconds',this.value)">s`;
+  ` radar <input type=number value=${portv['r128.radar_seconds']}
+    min=30 max=720 step=30
+    style="width:4em" onchange="port('r128','radar_seconds',this.value)">s
+  <button onclick="ctl('reset_radar')">radar reset</button>`;
 if (meters.includes('bbcms')) ports.innerHTML +=
-  ` <label>S20 <input type=checkbox
+  ` <label>S20 <input type=checkbox ${portv['bbcms.s20'] ? 'checked' : ''}
     onchange="port('bbcms','s20',this.checked?1:0)"></label>`;
 setInterval(() => {
   const t = Date.now();
@@ -296,7 +375,9 @@ def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0,
                 if u.path in ("/", "/index.html"):
                     page = (_PAGE
                             .replace("%METERS%", json.dumps(engine.names))
-                            .replace("%FPS%", str(fps)))
+                            .replace("%FPS%", str(fps))
+                            .replace("%PORTVALS%",
+                                     json.dumps(engine.port_values())))
                     self._send(200, "text/html", page.encode())
                 elif u.path.startswith("/view/") and u.path.endswith(".png"):
                     n = u.path[len("/view/"):-len(".png")]
@@ -343,12 +424,15 @@ def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0,
 def feed_file(engine: LiveEngine, data: np.ndarray, fs: float,
               chunk: int, speed: float, stop=None):
     """Pace [C, T] data through the engine at speed x realtime
-    (0 = unpaced), like the JACK process() callback cadence."""
+    (0 = unpaced), like the JACK process() callback cadence.  Blocks are
+    exact-length (pad=False): the engine measures each block's 4-aligned
+    prefix, so zero-padding never enters the meters and fed_samples
+    reports real audio only."""
     from .io.stream import chunk_array
 
     t0 = time.monotonic()
     fed = 0
-    for blk in chunk_array(data, chunk):
+    for blk in chunk_array(data, chunk, pad=False):
         if stop is not None and stop.is_set():
             break
         engine.feed(blk)

@@ -200,13 +200,20 @@ class EbuR128Meter:
     def integr_reset(self, state):
         """User-facing reset: the reference GUI RESET button runs
         ebu_reset (src/ebulv2.cc:45-60) = Ebu_r128_proc::integr_reset
-        (ebu_r128_proc.cc:192-204) PLUS integration_time = 0 and
-        tp_max = -inf — so the sample counter and held dBTP clear too."""
+        (ebu_r128_proc.cc:192-204) PLUS integration_time = 0, tp_max =
+        -inf, and the radar ring cleared (radarM/S = -inf, radar_pos_cur
+        = 0) — but NOT radar_spd_cur / radarMC / radarSC: the open radar
+        interval and its running maxima carry across a reset, exactly as
+        in the reference (only instantiate, ebulv2.cc:168-169, clears
+        those)."""
         b = state.loud_m.shape
         neg = jnp.full(b, -200.0, self.dtype)
         return dataclasses.replace(
             state,
             max_m=neg, max_s=neg,
+            radar_m=jnp.full_like(state.radar_m, -jnp.inf),
+            radar_s=jnp.full_like(state.radar_s, -jnp.inf),
+            radar_pos=jnp.zeros_like(state.radar_pos),
             hist_m=jnp.zeros_like(state.hist_m),
             hist_s=jnp.zeros_like(state.hist_s),
             count_m=jnp.zeros_like(state.count_m),

@@ -100,7 +100,6 @@ class PhaseWheel:
                 ext, self.stft.win, self.stft.hop, "phasewheel",
                 self.db_thresh, interpret=interp,
             )
-            ok = level > -99.0
             fpk = jnp.max(jnp.maximum(level, 0.0), -1)  # [..., F]
 
             def pk_step(p, f):

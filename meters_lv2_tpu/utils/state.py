@@ -16,7 +16,7 @@ full measurement checkpoint is a tree-serialize.  Both are provided:
 
 from __future__ import annotations
 
-import io
+import os
 
 import jax
 import numpy as np
@@ -62,20 +62,51 @@ def load_state_sharded(like_state, path: str):
 
 
 def save_state(state, path_or_file):
-    """Serialize a meter-state pytree to .npz (host roundtrip)."""
+    """Serialize a meter-state pytree to .npz (host roundtrip).
+
+    A string/Path target is written at exactly that path (np.savez alone
+    would append '.npz' when the suffix is missing, making save/load
+    asymmetric for extensionless paths)."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         repr(treedef).encode(), dtype=np.uint8
     )
-    np.savez(path_or_file, **arrays)
+    if isinstance(path_or_file, (str, os.PathLike)):
+        with open(path_or_file, "wb") as f:
+            np.savez(f, **arrays)
+    else:
+        np.savez(path_or_file, **arrays)
 
 
 def load_state(like_state, path_or_file):
     """Restore a pytree saved by save_state; `like_state` supplies the
-    structure (and device placement via the default device)."""
+    structure (and device placement via the default device).
+
+    Leaves map positionally, so a checkpoint from a different tree would
+    silently land in the wrong slots; guard by validating leaf count and
+    per-leaf shape/dtype against `like_state` before materializing."""
     data = np.load(path_or_file)
     leaves, treedef = jax.tree_util.tree_flatten(like_state)
     n = len(leaves)
-    new_leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    saved_n = sum(1 for k in data.files if k.startswith("leaf_"))
+    if saved_n != n:
+        raise ValueError(
+            f"checkpoint has {saved_n} leaves, expected {n} — saved from "
+            "a different meter configuration"
+        )
+    new_leaves = []
+    for i, like in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        want_shape = np.shape(like)
+        want_dtype = getattr(like, "dtype", None)
+        if arr.shape != want_shape or (
+            want_dtype is not None and arr.dtype != want_dtype
+        ):
+            raise ValueError(
+                f"checkpoint leaf {i} is {arr.shape}/{arr.dtype}, expected "
+                f"{want_shape}/{want_dtype} — saved from a different meter "
+                "configuration"
+            )
+        new_leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

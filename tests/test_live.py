@@ -73,6 +73,68 @@ def test_reset_reinits_other_meters():
     assert float(np.max(np.abs(np.asarray(out)))) < 1e-4
 
 
+def test_reset_clears_radar_ring():
+    """GUI RESET (ebu_reset, src/ebulv2.cc:45-60) clears the radar ring
+    and position but — reference quirk — carries the open interval's
+    sample counter and running maxima (only instantiate clears those)."""
+    eng = LiveEngine(["r128"], FS, 2)
+    for _ in range(3):  # 3 s at 16000-sample radar interval = 9 points
+        eng.feed(_stereo(1.0))
+    st = eng._state["r128"]
+    assert float(np.max(np.asarray(st.radar_m))) > -np.inf
+    spd_cur = int(np.asarray(st.radar_spd_cur))
+    eng.control("reset")
+    st = eng._state["r128"]
+    assert np.all(np.isneginf(np.asarray(st.radar_m)))
+    assert np.all(np.isneginf(np.asarray(st.radar_s)))
+    assert int(np.asarray(st.radar_pos)) == 0
+    assert int(np.asarray(st.radar_spd_cur)) == spd_cur  # interval carries
+
+
+def test_radar_reset_control_clears_ring_only():
+    """CTL_RESETRADAR analog: clears the ring without touching the
+    integration counters."""
+    eng = LiveEngine(["r128"], FS, 2)
+    for _ in range(3):
+        eng.feed(_stereo(1.0))
+    n1 = int(np.asarray(eng._state["r128"].n_lo))
+    assert n1 > 0
+    eng.control("reset_radar")
+    st = eng._state["r128"]
+    assert np.all(np.isneginf(np.asarray(st.radar_m)))
+    assert int(np.asarray(st.n_lo)) == n1  # integration untouched
+
+
+def test_reset_reapplies_runtime_ports():
+    """LV2 control ports are host-held and re-read every run(): a reset
+    (plugin-reinstantiation analog) must not revert runtime-set values."""
+    eng = LiveEngine(["spectrum"], FS, 2)
+    om0 = float(np.asarray(eng._state["spectrum"].omega))
+    eng.set_port("spectrum", "speed", 8.0)
+    om8 = float(np.asarray(eng._state["spectrum"].omega))
+    assert om8 != om0
+    eng.control("reset")
+    assert float(np.asarray(eng._state["spectrum"].omega)) == om8
+
+
+def test_feed_never_measures_padding():
+    """Padding-never-measured: a non-4-aligned block is measured only to
+    its 4-aligned prefix; fed_samples reports real audio exactly."""
+    eng = LiveEngine(["r128"], FS, 2)
+    sig = _stereo(0.5)[:, : FS // 2 - 3]  # T % 4 == 1
+    eng.feed(sig)
+    assert eng.fed_samples == sig.shape[-1]
+    n = int(np.asarray(eng._state["r128"].n_lo))
+    assert n == sig.shape[-1] // 4 * 4
+
+
+def test_feed_file_exact_length():
+    eng = LiveEngine(["r128"], FS, 2)
+    sig = _stereo(1.0)[:, : FS - 2]
+    feed_file(eng, sig, FS, chunk=FS // 4, speed=0.0)
+    assert eng.fed_samples == FS - 2
+
+
 def test_s20_port_toggles_side_gain_without_recompile():
     """BBC M-6 s20 port (src/meters.cc:562-563): side gain -6 -> +14 dB
     mid-stream through ONE compiled update program."""
@@ -143,6 +205,7 @@ def test_session_save_resume(tmp_path):
     b.load(path)
     assert b.fed_samples == 5 * FS
     assert bool(b._controls["bbcms"]["s20"])  # port value restored
+    assert b._port_values[("bbcms", "s20")] == 1.0  # host port view too
     for _ in range(5):
         b.feed(blk)
     got = b.snapshot()
@@ -180,6 +243,33 @@ def test_http_save_load_endpoints(tmp_path):
         srv2.shutdown()
 
 
+def test_save_extensionless_path_roundtrip(tmp_path):
+    """save/load are symmetric for paths without a .npz suffix (np.savez
+    alone would append .npz on write but not on read)."""
+    import os
+
+    path = str(tmp_path / "session")  # no extension
+    eng = LiveEngine(["vu"], FS, 2)
+    eng.feed(_stereo(0.5))
+    eng.save(path)
+    assert os.path.exists(path)  # exactly the configured --state-file
+    eng2 = LiveEngine(["vu"], FS, 2)
+    eng2.load(path)
+    assert eng2.fed_samples == eng.fed_samples
+
+
+def test_load_rejects_mismatched_config(tmp_path):
+    """A checkpoint from a different meter set must be rejected, not
+    positionally mapped into the wrong state slots."""
+    path = str(tmp_path / "s.npz")
+    a = LiveEngine(["r128", "vu"], FS, 2)
+    a.feed(_stereo(0.5))
+    a.save(path)
+    b = LiveEngine(["vu"], FS, 2)
+    with pytest.raises(ValueError):
+        b.load(path)
+
+
 def test_http_server_endpoints(engine):
     srv = make_server(engine, port=0, fps=5.0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -188,6 +278,8 @@ def test_http_server_endpoints(engine):
     try:
         page = urllib.request.urlopen(f"{base}/").read().decode()
         assert "r128" in page and "meters_lv2_tpu live" in page
+        assert "%PORTVALS%" not in page  # port seeds substituted
+        assert "r128.radar_seconds" in page
         png = urllib.request.urlopen(f"{base}/view/r128.png?t=1").read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         st = json.loads(
