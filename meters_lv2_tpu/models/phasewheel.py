@@ -89,83 +89,64 @@ class PhaseWheel:
         import os as _os
 
         inkernel = _os.environ.get("METERS_TPU_PW_KERNEL_ANALYSIS", "0") == "1"
-        if use_fused and inkernel:
-            # fully-fused variant: power/atan2/thresholds run INSIDE the
-            # kernel ('phasewheel' mode — halves the analyzer's HBM
-            # traffic: dphi+level out instead of 2x re/im).  Measured
-            # against the raw+XLA default in docs/BENCHMARKS.md round 4.
-            W = self.stft.window_size
-            ext = jnp.concatenate([state.stft.tail, lr], axis=-1)
-            dphi, level = pallas_stft.analyzer_frames(
-                ext, self.stft.win, self.stft.hop, "phasewheel",
-                self.db_thresh, interpret=interp,
-            )
-            fpk = jnp.max(jnp.maximum(level, 0.0), -1)  # [..., F]
-
-            def pk_step(p, f):
-                p = p + 0.04 * (f - p) + 1e-15
-                p = jnp.clip(jnp.where(jnp.isnan(p), 0.0, p), None, 1000.0)
-                return p, p
-
-            peak, _ = jax.lax.scan(
-                pk_step, state.peak, jnp.moveaxis(fpk, -1, 0)
-            )
-            cor_st = self.cor.update(state.cor, lr)
-            corr, cor_st = self.cor.read(cor_st)
-            new = PhaseWheelState(
-                stft=fft_ops.STFTState(
-                    tail=ext[..., -W:], phase_h=state.stft.phase_h
-                ),
-                peak=peak, cor=cor_st,
-            )
-            return {
-                "phase": dphi, "level": level, "peak": peak,
-                "correlation": corr,
-            }, new
         if use_fused:
-            # fused Pallas STFT emits raw per-channel (re, im); the
-            # analysis below runs as ONE fused XLA elementwise pass
-            # (in-kernel atan2 was 2.4x slower on the PRE-operator-fusion
-            # kernel; the fully-fused variant above re-measures it)
             W = self.stft.window_size
             ext = jnp.concatenate([state.stft.tail, lr], axis=-1)
-            re, im = pallas_stft.analyzer_frames(
-                ext, self.stft.win, self.stft.hop, "raw",
-                self.db_thresh, interpret=interp,
-            )
-            lre, rre = re[..., 0, :, :], re[..., 1, :, :]
-            lim, rim = im[..., 0, :, :], im[..., 1, :, :]
-            pl = lre * lre + lim * lim
-            pr = rre * rre + rim * rim
-            phl = jnp.arctan2(lim, lre)
-            phr = jnp.arctan2(rim, rre)
-            # ft_analyze boundary bins (fft.c:166-178)
-            pl = pl.at[..., D - 1].set(0.0)
-            pr = pr.at[..., D - 1].set(0.0)
-            phl = phl.at[..., 0].set(0.0).at[..., D - 1].set(0.0)
-            phr = phr.at[..., 0].set(0.0).at[..., D - 1].set(0.0)
             # phase_h is carried unchanged (nothing downstream of the
             # wheel consumes freq_at_bin; matches compute_phase=False)
             stft_st = fft_ops.STFTState(
                 tail=ext[..., -W:], phase_h=state.stft.phase_h
             )
+            if inkernel:
+                # fully-fused variant: power/atan2/thresholds run INSIDE
+                # the kernel ('phasewheel' mode — halves the analyzer's
+                # HBM traffic: dphi+level out instead of 2x re/im).
+                # Measured against the raw+XLA default in
+                # docs/BENCHMARKS.md round 4.
+                dphi, level = pallas_stft.analyzer_frames(
+                    ext, self.stft.win, self.stft.hop, "phasewheel",
+                    self.db_thresh, interpret=interp,
+                )
+            else:
+                # fused Pallas STFT emits raw per-channel (re, im); the
+                # analysis below runs as ONE fused XLA elementwise pass
+                # (in-kernel atan2 was 2.4x slower on the PRE-operator-
+                # fusion kernel; the fully-fused variant above
+                # re-measures it)
+                re, im = pallas_stft.analyzer_frames(
+                    ext, self.stft.win, self.stft.hop, "raw",
+                    self.db_thresh, interpret=interp,
+                )
+                lre, rre = re[..., 0, :, :], re[..., 1, :, :]
+                lim, rim = im[..., 0, :, :], im[..., 1, :, :]
+                pl = lre * lre + lim * lim
+                pr = rre * rre + rim * rim
+                phl = jnp.arctan2(lim, lre)
+                phr = jnp.arctan2(rim, rre)
+                # ft_analyze boundary bins (fft.c:166-178)
+                pl = pl.at[..., D - 1].set(0.0)
+                pr = pr.at[..., D - 1].set(0.0)
+                phl = phl.at[..., 0].set(0.0).at[..., D - 1].set(0.0)
+                phr = phr.at[..., 0].set(0.0).at[..., D - 1].set(0.0)
         else:
             power, phase, stft_st = self.stft.update(state.stft, lr)
             pl, pr = power[..., 0, :, :], power[..., 1, :, :]
             phl, phr = phase[..., 0, :, :], phase[..., 1, :, :]
-        ok = (pl >= self.db_thresh) & (pr >= self.db_thresh)
-        dphi = jnp.where(ok, phr - phl, 0.0)
-        level = jnp.where(ok, jnp.maximum(pl, pr), -100.0)
-        # frame-rate peak smoothing (phasewheel.c:1333-1338)
-        fpk = jnp.max(jnp.where(ok, level, 0.0), -1)  # [..., F]
+        if not (use_fused and inkernel):
+            ok = (pl >= self.db_thresh) & (pr >= self.db_thresh)
+            dphi = jnp.where(ok, phr - phl, 0.0)
+            level = jnp.where(ok, jnp.maximum(pl, pr), -100.0)
+        # frame-rate peak smoothing (phasewheel.c:1333-1338); level is
+        # linear power (>= 0 where ok, -100 marker elsewhere), so the
+        # 0-floor max equals the ok-masked max
+        fpk = jnp.max(jnp.maximum(level, 0.0), -1)  # [..., F]
 
         def pk_step(p, f):
             p = p + 0.04 * (f - p) + 1e-15
             p = jnp.clip(jnp.where(jnp.isnan(p), 0.0, p), None, 1000.0)
             return p, p
 
-        fpk_t = jnp.moveaxis(fpk, -1, 0)
-        peak, _ = jax.lax.scan(pk_step, state.peak, fpk_t)
+        peak, _ = jax.lax.scan(pk_step, state.peak, jnp.moveaxis(fpk, -1, 0))
 
         cor_st = self.cor.update(state.cor, lr)
         corr, cor_st = self.cor.read(cor_st)

@@ -118,16 +118,24 @@ class SigDistMeter:
         # 1-based global index of each sample, counting out-of-range too
         cnt = (state.time[..., None]
                + jnp.arange(1, T + 1, dtype=jnp.int32)).astype(x.dtype)
-        a = jnp.where(ok, 1.0 - 1.0 / cnt, 1.0)
+        # the affine map's multiplier is carried in COMPLEMENT form
+        # u = 1/cnt (a = 1 - u): computing a directly would round
+        # 1 - 1/cnt to exactly 1.0f past cnt ~ 2^24 (f32 eps), freezing
+        # the mean recurrence ~6 min into a 48 kHz integration; u stays
+        # representable down to 1/2^31.  Residual deviation from the
+        # reference's double recurrence is then ordinary f32 state
+        # rounding (~1e-7 rel per block), not a collapse.
+        u = jnp.where(ok, 1.0 / cnt, 0.0)
         b = jnp.where(ok, x / cnt, 0.0)
 
-        def comp(p, q):  # apply p first, then q
-            a1, b1 = p
-            a2, b2 = q
-            return a1 * a2, a2 * b1 + b2
+        def comp(p, q):  # apply p first, then q; a = 1 - u throughout
+            u1, b1 = p
+            u2, b2 = q
+            return u1 + u2 - u1 * u2, b1 - u2 * b1 + b2
 
-        A, B = jax.lax.associative_scan(comp, (a, b), axis=-1)
-        m = A * state.mean[..., None] + B  # var_m AFTER sample t
+        U, B = jax.lax.associative_scan(comp, (u, b), axis=-1)
+        m0 = state.mean[..., None]
+        m = m0 - U * m0 + B  # var_m AFTER sample t
         m_prev = jnp.concatenate(
             [state.mean[..., None], m[..., :-1]], axis=-1
         )

@@ -82,13 +82,23 @@ class GemmRFFT:
     fft.c's ft_analyze zeroes the top one anyway).
     """
 
+    @staticmethod
+    def supports(n: int) -> bool:
+        """True when the two-stage m1 x m2 factorization exists (m1 =
+        largest power of two <= sqrt(n/2) must divide n/2 — always true
+        for power-of-two windows, not e.g. n=36)."""
+        if n % 2:
+            return False
+        m = n // 2
+        m1 = 1 << ((m.bit_length() - 1) // 2)
+        return m % m1 == 0
+
     def __init__(self, n: int, dtype=jnp.float32):
-        assert n % 2 == 0
+        assert self.supports(n), f"no two-stage factorization for n={n}"
         self.n = n
         m = n // 2
         m1 = 1 << ((m.bit_length() - 1) // 2)
         m2 = m // m1
-        assert m1 * m2 == m, (n, m1, m2)
         self.m, self.m1, self.m2 = m, m1, m2
         k2 = np.arange(m2)
         n1 = np.arange(m1)
@@ -205,7 +215,7 @@ class STFT:
         # parity bar (0.0018 rel) — docs/BENCHMARKS.md round 4.  Kept as
         # an opt-in for re-measurement on locally-attached hardware.
         mode = os.environ.get("METERS_TPU_STFT_GEMM", "0")
-        use_gemm = mode == "1" and self.window_size % 4 == 0
+        use_gemm = mode == "1" and GemmRFFT.supports(self.window_size)
         if use_gemm:
             if self._gemm is None:
                 self._gemm = GemmRFFT(self.window_size, self.dtype)

@@ -373,12 +373,20 @@ def analyzer_frames(
 
 
 def usable(window_size: int, hop: int, T: int) -> bool:
-    """Static gate: the kernel covers the analyzers' native geometry."""
+    """Static gate: the kernel covers the analyzers' native geometry.
+
+    The frame count F = T/hop is bounded because every frame's scratch
+    and output live in VMEM (~200 KB/frame: FR*64 + 2*FK*128 f32
+    scratch + 2*FK*64 output + stage temporaries) against the 16 MB
+    scoped-VMEM limit.  F <= 32 keeps the analyzers' native ~1 s blocks
+    (F = 25 at 25 fps) on the kernel with ample headroom; longer blocks
+    fall back to the XLA rfft path, which handles any T."""
     return (
         window_size == _W
         and hop % 128 == 0
         and T % hop == 0
         and (T + _W) % 128 == 0
+        and 0 < T // hop <= 32
     )
 
 

@@ -188,12 +188,19 @@ class MeterPipeline:
         # the jitted phases are cached on self keyed by the static
         # geometry — repeated ragged ingests (any length mix) reuse the
         # same two wrappers, so the two-compiled-programs guarantee holds
-        # ACROSS calls, not just within one (jit caches per wrapper)
+        # ACROSS calls, not just within one (jit caches per wrapper).
+        # LRU-bounded: each entry pins compiled executables for the
+        # pipeline's lifetime, so a long-lived service ingesting many
+        # distinct padded geometries must not grow without bound.
         key = (chunk, C, n_steps)
         cache = getattr(self, "_ragged_cache", None)
         if cache is None:
             cache = self._ragged_cache = {}
-        if key not in cache:
+        if key in cache:
+            cache[key] = cache.pop(key)  # refresh recency (dict = ordered)
+        else:
+            while len(cache) >= 8:
+                cache.pop(next(iter(cache)))  # evict least-recent geometry
             n_levels = max(chunk // 4 - 1, 1).bit_length()
 
             @jax.jit

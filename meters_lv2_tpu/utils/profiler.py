@@ -33,11 +33,17 @@ def _fetch_barrier(tree) -> None:
     billing the timed region for a multi-MB state transfer through the
     tunnel (a [B,2,8192] STFT tail fetched whole costs more than the
     analyzer program it barriers — measured round 4)."""
-    for leaf in jax.tree_util.tree_leaves(tree):
-        el = leaf[(0,) * getattr(leaf, "ndim", 0)]
-        arr = np.asarray(el)
-        del arr
-        return
+    leaves = jax.tree_util.tree_leaves(tree)
+    for leaf in leaves:
+        # barrier on the first DEVICE array with at least one element;
+        # host scalars/empty arrays prove nothing about device work
+        if isinstance(leaf, jax.Array) and getattr(leaf, "size", 0):
+            el = leaf[(0,) * leaf.ndim]
+            arr = np.asarray(el)
+            del arr
+            return
+    if leaves:  # no device leaf: materialize whatever is first (total)
+        np.asarray(leaves[0])
 
 
 def time_op(fn, *args, iters: int = 10, warmup: int = 2, best_of: int = 3,

@@ -12,6 +12,13 @@ full measurement checkpoint is a tree-serialize.  Both are provided:
 - pack_settings / unpack_settings: the reference's bit-packed config word
 - save_state / load_state: full measurement checkpoint (npz), enabling
   resume of long-running batch jobs mid-stream
+
+Compatibility: checkpoints capture internal state REPRESENTATIONS (e.g.
+a filter's state-space realization), which may change between framework
+versions while keeping identical shapes — load_state validates
+count/shape/dtype, so restore checkpoints with the same framework
+version that wrote them (the same caveat applies to the reference's LV2
+State across plugin versions).
 """
 
 from __future__ import annotations

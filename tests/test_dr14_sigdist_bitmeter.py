@@ -256,3 +256,33 @@ def test_swar_value_histogram_matches_bincount():
         sel = idx[b][(idx[b] >= 0) & (idx[b] < 361)]
         ref = np.bincount(sel, minlength=361)
         np.testing.assert_array_equal(h[b], ref)
+
+
+def test_sigdist_oor_mean_tracks_past_2pow24():
+    """The quirk-mode Welford chain must keep tracking past cnt ~ 2^24:
+    a direct f32 `a = 1 - 1/cnt` rounds to exactly 1.0 there (f32 eps)
+    and freezes the mean; the complement-form composition (u = 1/cnt)
+    stays live.  Oracle: the reference's double recurrence
+    (sigdistlv2.c:313-318)."""
+    import dataclasses
+
+    from meters_lv2_tpu.models.sigdist import SigDistMeter
+
+    m = SigDistMeter(FS, reference_oor_count=True)
+    st = m.init(())
+    t0 = 1 << 25  # ~11.7 min at 48 kHz, past the f32 freeze point
+    st = dataclasses.replace(
+        st,
+        time=jnp.asarray(t0, st.time.dtype),
+        mean=jnp.asarray(0.5, jnp.float32),
+    )
+    rng = np.random.default_rng(7)
+    x = (0.2 + 0.05 * rng.standard_normal(4096)).astype(np.float32)
+    st2 = jax.jit(m.update)(st, jnp.asarray(x))
+
+    mean = 0.5  # f64 oracle of the sequential reference loop
+    for i, v in enumerate(np.asarray(x, np.float64)):
+        mean += (v - mean) / (t0 + i + 1)
+    got = float(np.asarray(st2.mean))
+    assert got != 0.5, "mean recurrence froze"
+    np.testing.assert_allclose(got, mean, rtol=1e-4)

@@ -128,10 +128,13 @@ def test_stft_oddblock_parity():
                 err_msg=f"oddblock frame {rec['frame']}")
 
 
-def test_phasewheel_parity():
+@pytest.mark.parametrize("prefix", ["phasewheel", "phasewheel_44k"])
+def test_phasewheel_parity(prefix):
     from meters_lv2_tpu.models.phasewheel import PhaseWheel
 
-    for fx in _load_all("phasewheel"):
+    fxs = _load_all(prefix)
+    assert fxs, f"no {prefix} fixtures found"
+    for fx in fxs:
         bins = int(fx["extra"][0])
         m = PhaseWheel(fx["fs"], bins=bins)
         x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])
@@ -169,10 +172,13 @@ def test_phasewheel_parity():
         assert mism <= 0.01 * tot, (mism, tot)
 
 
-def test_stereoscope_parity():
+@pytest.mark.parametrize("prefix", ["stereoscope", "stereoscope_44k"])
+def test_stereoscope_parity(prefix):
     from meters_lv2_tpu.models.phasewheel import Stereoscope
 
-    for fx in _load_all("stereoscope"):
+    fxs = _load_all(prefix)
+    assert fxs, f"no {prefix} fixtures found"
+    for fx in fxs:
         bins = int(fx["extra"][0])
         m = Stereoscope(fx["fs"], bins=bins)
         x = make_signal(fx["signal"], fx["seconds"], fs=fx["fs"])

@@ -247,10 +247,15 @@ def test_ebur128_parity(prefix):
         assert int(st.count_s) == final["countS"]
 
 
-def test_spectrum_parity():
+@pytest.mark.parametrize("prefix", ["spectrum", "spectrum_96k"])
+def test_spectrum_parity(prefix):
+    # 96 kHz is the precision worst case: the 25 Hz band's poles sit
+    # closest to the unit circle there (spectr.c bilinear design)
     from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer
 
-    for fx in _fixtures("spectrum"):
+    fxs = _fixtures(prefix)
+    assert fxs, f"no {prefix} fixtures found"
+    for fx in fxs:
         m = SpectrumAnalyzer(fx["fs"])
         x = _stream(fx)
         st = m.init(())

@@ -103,6 +103,25 @@ def test_fused_gate_rejects_441k(_modes):
     assert use and interp
 
 
+def test_fused_gate_rejects_long_blocks(_modes):
+    """Multi-second blocks exceed the kernel's per-frame VMEM budget
+    (~200 KB/frame against the 16 MB scoped limit) -> XLA path used;
+    the analyzer still processes them correctly."""
+    from meters_lv2_tpu.models.phasewheel import PhaseWheel, _fused_mode
+    from meters_lv2_tpu.ops import fft as fft_ops
+
+    os.environ["METERS_TPU_STFT_FUSED"] = "interpret"
+    stft48 = fft_ops.STFT(48000)
+    T10 = stft48.hop * (10 * 48000 // stft48.hop)  # ~10 s, hop-aligned
+    use, _ = _fused_mode(stft48, T10)
+    assert not use  # F = T/hop way past the VMEM-bounded 32
+    m = PhaseWheel(48000)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, T10)).astype(np.float32) * 0.1
+    out, _ = m.process(m.init(()), jnp.asarray(x))
+    assert np.isfinite(np.asarray(out["level"])).all()
+
+
 def test_phasewheel_inkernel_analysis_matches_raw(_modes):
     """'phasewheel' kernel mode (power/atan2/thresholds in VMEM) vs the
     default raw+XLA analysis: same masks, phase to Cephes-poly rounding."""
