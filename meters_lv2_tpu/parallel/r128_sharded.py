@@ -196,15 +196,29 @@ def analyze_r128(meter: EbuR128Meter, x, mesh: Mesh):
     """Sharded whole-file analysis.
 
     Args:
-      meter: an EbuR128Meter (supplies constants).
+      meter: an EbuR128Meter (supplies constants).  Must use the default
+        radar semantics: reference_radar (quirk-exact GUI rings) and
+        runtime_radar_speed (traced radar_spd state) are serial-streaming
+        features the sharded radar section does not reproduce — rejected
+        here rather than silently returning different rings.
       x: [B, C, T] with B divisible by mesh 'dp' size and T by
          ('sp' size * fragment).
     Returns the same readout dict as EbuR128Meter.read (integrated / LRA
-    computed from the psum'd histograms).
+    computed from the psum'd histograms; radar at the default
+    fragment-rate semantics; no radar_spd / integ_time_s keys — the
+    whole-file analysis has no running-state notion of either).
     """
     from jax import shard_map
 
     assert x.shape[1] == meter.nchan, (x.shape, meter.nchan)
+    if getattr(meter, "reference_radar", False) or getattr(
+        meter, "runtime_radar_speed", False
+    ):
+        raise NotImplementedError(
+            "analyze_r128 supports only the default radar semantics; "
+            "use serial streaming (meter.update) for reference_radar / "
+            "runtime_radar_speed"
+        )
     body = partial(_analyze_shard, meter, sp_axis="sp")
     out = jax.jit(
         shard_map(

@@ -79,7 +79,12 @@ def lti_entry_state_sp(
     # s_in[k] = s0 @ aL^k + Σ_{i<k} b[i] @ aL^{k-1-i}, built by iterating
     # s := s @ aL + b[i] for i < k (nsp is tiny, the loop is d x d work)
     def step(i, s):
-        s_next = jnp.matmul(s, jnp.asarray(aL)) + b_all[i]
+        # state-chain precision law (CLAUDE.md / ops/lti.py _STATE):
+        # state-propagation matmuls are always HIGHEST — cross-shard
+        # entry-state errors would compound nsp x resonance otherwise
+        s_next = jnp.matmul(
+            s, jnp.asarray(aL), precision=jax.lax.Precision.HIGHEST
+        ) + b_all[i]
         return jnp.where(i < k, s_next, s)
 
     # join shard_map varying-axes metadata with the gathered responses

@@ -188,11 +188,21 @@ class NativeEngine:
         if not self._h:
             raise ValueError(f"bad meter kind {kind}")
         self.kind = kind
-        self.nchan = nchan
+        # gonio repurposes the nchan argument as the oversample factor;
+        # the engine itself is always stereo (meters_native.h)
+        self.nchan = 2 if kind == "gonio" else nchan
 
     def process(self, x: np.ndarray):
-        """x: [C, T] float32 planar."""
+        """x: [C, T] float32 planar, C == the engine's channel count.
+
+        Validated here because the C side receives only nframes and reads
+        nchan*T floats — a mismatched array would be an out-of-bounds
+        read, not an error."""
         x = np.ascontiguousarray(x, np.float32)
+        if x.ndim != 2 or x.shape[0] != self.nchan:
+            raise ValueError(
+                f"expected [C={self.nchan}, T] planar audio, got {x.shape}"
+            )
         rc = self._lib.mt_engine_process(
             self._h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             x.shape[-1],

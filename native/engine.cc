@@ -399,6 +399,7 @@ static void design_kweight(mt_engine* e) {
 }
 
 extern "C" mt_engine* mt_engine_create(int kind, float fs, int nchan) {
+  if (nchan < 1) return nullptr;
   mt_engine* e = new mt_engine();
   e->kind = kind;
   e->fs = fs;
@@ -448,6 +449,9 @@ extern "C" mt_engine* mt_engine_create(int kind, float fs, int nchan) {
       break;
     }
     case MT_R128:
+      // channel gain table covers mono..5.0 (ebu_r128_proc.cc _chan_gain);
+      // more channels would read past it
+      if (nchan > 5) { delete e; return nullptr; }
       design_kweight(e);
       e->r128.fragm = (int)fs / 20;
       e->r128.frcnt = e->r128.fragm;
@@ -899,6 +903,15 @@ static double coeff_db(double c) {
 
 extern "C" int mt_engine_process(mt_engine* e, const float* data, int64_t n) {
   if (!e || n <= 0) return -1;
+  switch (e->kind) {  // 4-sample ballistics grain (jmeters unrolled
+    // loops; the JAX path asserts the same): reject instead of silently
+    // dropping the trailing n % 4 samples
+    case MT_VU: case MT_IEC1: case MT_IEC2: case MT_KMETER:
+    case MT_MSPPM: case MT_DR14: case MT_TPNRMS:
+      if (n % 4) return -3;
+      break;
+    default: break;
+  }
   switch (e->kind) {
     case MT_VU: proc_vu(e, data, n); return 0;
     case MT_IEC1:

@@ -66,11 +66,16 @@ typedef enum {
 typedef struct mt_engine mt_engine;
 
 /* nchan: independent channels (STCORR/R128 interpret them jointly;
- * GONIO repurposes it as the oversample factor and is always stereo). */
+ * GONIO repurposes it as the oversample factor and is always stereo).
+ * Bounds enforced (NULL on violation): nchan >= 1; R128 <= 5 (mono..5.0
+ * gain table); PHASEWHEEL/STEREOSCOPE == 2; SURROUND 3..8. */
 mt_engine* mt_engine_create(int kind, float fs, int nchan);
 void mt_engine_destroy(mt_engine* e);
 
-/* Feed one block of planar float32 (ch-major: data[c*nframes + t]). */
+/* Feed one block of planar float32 (ch-major: data[c*nframes + t]).
+ * VU/IEC1/IEC2/KMETER/MSPPM/DR14/TPNRMS run 4-sample ballistics grains
+ * (jmeters unrolled loops): nframes must be a multiple of 4 (-3
+ * otherwise, matching the JAX path's block-granularity assert). */
 int mt_engine_process(mt_engine* e, const float* data, int64_t nframes);
 
 /* Read current values. Layout depends on kind:

@@ -72,7 +72,9 @@ extern "C" int mt_wav_read(const char* path, float** data, int32_t* nchan,
         r.u16();                          // valid bits
         r.u32();                          // channel mask
         fmt = r.u16();                    // sub-format GUID leading u16
-        std::fseek(f, 14, SEEK_CUR);
+        // 14 GUID tail bytes + any extension beyond the canonical 40,
+        // so the chunk walker stays aligned for oversized fmt chunks
+        std::fseek(f, 14 + (long)(len - 40), SEEK_CUR);
         len = 0;  // consumed
       } else if (len > 16) {
         std::fseek(f, len - 16, SEEK_CUR);
@@ -90,7 +92,13 @@ extern "C" int mt_wav_read(const char* path, float** data, int32_t* nchan,
       len = 0;
     }
   }
-  if (!ch || !sr || data_pos < 0) { std::fclose(f); return -3; }
+  // bits gates the sample decode AND the frame-count division below —
+  // a malformed fmt chunk with bits 0 would SIGFPE on (bytes * ch)
+  if (!ch || !sr || data_pos < 0 ||
+      !(bits == 16 || bits == 24 || bits == 32 || bits == 64)) {
+    std::fclose(f);
+    return -3;
+  }
 
   int bytes = bits / 8;
   int64_t frames = (int64_t)data_len / (bytes * ch);

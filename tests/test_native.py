@@ -330,3 +330,42 @@ def test_native_batch_decode(tmp_path):
         np.testing.assert_allclose(arr, ref, atol=1e-7)
     with pytest.raises(IOError):
         native.wav_read_batch([paths[0], str(tmp_path / "missing.wav")])
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_boundary_validation():
+    """The C boundary rejects rather than reading out of bounds:
+    channel-count mismatches (the engine receives only nframes), the
+    R128 gain-table limit (mono..5.0), and the 4-sample ballistics
+    grain (silent drop would diverge from the JAX path)."""
+    eng = native.NativeEngine("r128", FS, 2)
+    with pytest.raises(ValueError):
+        eng.process(np.zeros(1000, np.float32))  # mono into stereo engine
+    with pytest.raises(ValueError):
+        eng.process(np.zeros((3, 1000), np.float32))
+    with pytest.raises(ValueError):
+        native.NativeEngine("r128", FS, 6)  # gains table covers 5
+    with pytest.raises(ValueError):
+        native.NativeEngine("vu", FS, 0)
+    vu = native.NativeEngine("vu", FS, 2)
+    with pytest.raises(RuntimeError):
+        vu.process(np.zeros((2, 1001), np.float32))  # n % 4 != 0
+    vu.process(np.zeros((2, 1000), np.float32))  # aligned: fine
+    r128 = native.NativeEngine("r128", FS, 2)
+    r128.process(np.zeros((2, 1001), np.float32))  # sample-rate kinds: any n
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_wav_rejects_malformed(tmp_path):
+    """A WAV whose fmt chunk claims 0 bits/sample must error, not SIGFPE."""
+    import struct
+
+    p = str(tmp_path / "bad.wav")
+    fmtc = struct.pack("<HHIIHH", 1, 2, 48000, 0, 0, 0)  # bits = 0
+    data = b"\x00" * 64
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+            + b"data" + struct.pack("<I", len(data)) + data)
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(IOError):
+        native.wav_read(p)
