@@ -15,11 +15,17 @@ import numpy as np
 
 
 def chunk_array(x: np.ndarray, chunk: int, pad: bool = True) -> Iterator[np.ndarray]:
-    """Split [..., T] into chunk-sized pieces.  With pad=True the final
-    piece is zero-padded to a multiple of 4 (the meters' minimum block
-    granularity); pad=False yields exact lengths for callers that enforce
-    the padding-never-measured invariant themselves (e.g. the live shell,
-    which measures only the 4-aligned prefix of each block)."""
+    """Split [..., T] into chunk-sized pieces.
+
+    `chunk` is rounded DOWN to a multiple of 4 (the meters' minimum
+    block granularity) so that no zeros are ever injected mid-stream —
+    e.g. a naive 0.5 s chunk at 44.1 kHz (22050) would otherwise need 2
+    pad samples after EVERY piece.  With pad=True only the final piece
+    is zero-padded up to the 4-grain; pad=False yields exact lengths for
+    callers that enforce the padding-never-measured invariant themselves
+    (e.g. the live shell, which measures only the 4-aligned prefix of
+    each block)."""
+    chunk = max(4, chunk // 4 * 4)
     T = x.shape[-1]
     for i in range(0, T, chunk):
         piece = x[..., i : i + chunk]
@@ -27,6 +33,18 @@ def chunk_array(x: np.ndarray, chunk: int, pad: bool = True) -> Iterator[np.ndar
         if pad and rem:
             piece = np.pad(piece, [(0, 0)] * (piece.ndim - 1) + [(0, rem)])
         yield piece
+
+
+def _jitted_update(meter):
+    """Per-meter cached jax.jit(meter.update): a fresh wrapper per call
+    would retrace the update (seconds for Pallas-bearing meters) on
+    every file of a batch job."""
+    import jax
+
+    fn = meter.__dict__.get("_stream_jit_update")
+    if fn is None:
+        fn = meter.__dict__["_stream_jit_update"] = jax.jit(meter.update)
+    return fn
 
 
 def stream(
@@ -41,7 +59,7 @@ def stream(
     import jax
     import jax.numpy as jnp
 
-    update = jax.jit(meter.update)
+    update = _jitted_update(meter)
     for i, blk in enumerate(blocks):
         state = update(state, jnp.asarray(blk))
         if read_every and (i + 1) % read_every == 0:
@@ -82,7 +100,7 @@ def stream_pipelined(
     from collections import deque
 
     assert depth >= 1
-    update = jax.jit(meter.update)
+    update = _jitted_update(meter)
     it = iter(blocks)
     q: deque = deque()
 

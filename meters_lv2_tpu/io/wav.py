@@ -8,22 +8,26 @@ import numpy as np
 
 
 def read_wav(path: str):
-    """→ (data [C, T] float32 planar, sample_rate)."""
-    try:
-        from ..runtime import native
+    """→ (data [C, T] float32 planar, sample_rate).
 
-        return native.wav_read(path)
-    except Exception:
+    Only runtime UNavailability of the native library falls back to the
+    pure-Python parser (the io/batch.py policy): a native DECODE error
+    on a corrupt file propagates rather than silently re-parsing —
+    the Python parser could return a partial decode for truncations."""
+    from ..runtime import native
+
+    if native.load() is None:
         return _read_wav_py(path)
+    return native.wav_read(path)
 
 
 def write_wav(path: str, data: np.ndarray, rate: int, format: int = 32):
-    try:
-        from ..runtime import native
+    from ..runtime import native
 
-        native.wav_write(path, data, rate, format)
-    except Exception:
+    if native.load() is None:
         _write_wav_py(path, data, rate, format)
+    else:
+        native.wav_write(path, data, rate, format)
 
 
 def _read_wav_py(path: str):

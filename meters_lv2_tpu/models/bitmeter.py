@@ -90,8 +90,8 @@ class BitMeter:
 
     def _use_fused(self, T: int) -> bool:
         """Fused Pallas stats kernel (ops/pallas_bitmeter): auto on TPU
-        for blocks >= 2048 samples; the kernel covers the 2048-aligned
-        bulk, any remainder chains through the XLA path."""
+        for blocks >= _TT (1024) samples; the kernel covers the
+        _TT-aligned bulk, any remainder chains through the XLA path."""
         mode = self._fused_mode
         if mode == "0" or T < pallas_bitmeter._TT:
             return False

@@ -262,9 +262,6 @@ def upsample4_kernel(hl: int = 24) -> np.ndarray:
     npha = 4
     taps = np.zeros((npha, 2 * hl), dtype=np.float64)
     for ph in range(npha):
-        k = np.arange(-hl, hl, dtype=np.float64)
-        t = k + ph / npha
-        h = 1.0 * _sinc(t) * _wind(t / hl)
         # y = sum_k x[t_now - hl - k] * h(k): x index t-hl-k maps to window
         # position i = (2*hl - 1) - (hl + k) = hl - 1 - k  (i: oldest=0).
         # So taps_in_window_order[i] = h(hl - 1 - i + ph/4).

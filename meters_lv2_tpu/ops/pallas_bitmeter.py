@@ -180,7 +180,8 @@ def fused_stats(x: jax.Array, *, interpret: bool = False,
                 b_tile: int | None = None, k: int | None = None):
     """All bit-meter counter deltas for block x [B, T] in one kernel pass.
 
-    T must be a multiple of 2048 (callers chain an XLA tail for the rest).
+    T must be a multiple of _TT = 1024 (callers chain an XLA tail for
+    the rest; the tile was halved from 2048 for the 16 MB VMEM limit).
     Returns dict(hit [B,280] i32, one [B,280] i32, dset [B,23] i32,
     nan/inf/den/zero/pos [B] i32, vmin/vmax [B] f32) — unconditional
     block sums; apply the integration gate outside.

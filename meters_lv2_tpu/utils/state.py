@@ -93,27 +93,27 @@ def load_state(like_state, path_or_file):
     Leaves map positionally, so a checkpoint from a different tree would
     silently land in the wrong slots; guard by validating leaf count and
     per-leaf shape/dtype against `like_state` before materializing."""
-    data = np.load(path_or_file)
     leaves, treedef = jax.tree_util.tree_flatten(like_state)
     n = len(leaves)
-    saved_n = sum(1 for k in data.files if k.startswith("leaf_"))
-    if saved_n != n:
-        raise ValueError(
-            f"checkpoint has {saved_n} leaves, expected {n} — saved from "
-            "a different meter configuration"
-        )
-    new_leaves = []
-    for i, like in enumerate(leaves):
-        arr = data[f"leaf_{i}"]
-        want_shape = np.shape(like)
-        want_dtype = getattr(like, "dtype", None)
-        if arr.shape != want_shape or (
-            want_dtype is not None and arr.dtype != want_dtype
-        ):
+    with np.load(path_or_file) as data:  # close the npz fd promptly
+        saved_n = sum(1 for k in data.files if k.startswith("leaf_"))
+        if saved_n != n:
             raise ValueError(
-                f"checkpoint leaf {i} is {arr.shape}/{arr.dtype}, expected "
-                f"{want_shape}/{want_dtype} — saved from a different meter "
-                "configuration"
+                f"checkpoint has {saved_n} leaves, expected {n} — saved "
+                "from a different meter configuration"
             )
-        new_leaves.append(jax.numpy.asarray(arr))
+        new_leaves = []
+        for i, like in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            want_shape = np.shape(like)
+            want_dtype = getattr(like, "dtype", None)
+            if arr.shape != want_shape or (
+                want_dtype is not None and arr.dtype != want_dtype
+            ):
+                raise ValueError(
+                    f"checkpoint leaf {i} is {arr.shape}/{arr.dtype}, "
+                    f"expected {want_shape}/{want_dtype} — saved from a "
+                    "different meter configuration"
+                )
+            new_leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -25,10 +25,21 @@ def follow(meter, state, rolling: bool, was_rolling: bool, mode: int):
 
     Works with any meter exposing integr_start/integr_pause (+ optional
     integr_reset / reset), e.g. EbuR128Meter, SigDistMeter, DR14Meter.
+
+    Mirrors the reference's ebu_integrate guard (src/ebulv2.cc:63-73):
+    it early-returns when integration is already in the requested state,
+    so a measurement the user started MANUALLY is NOT auto-reset when
+    the transport later starts rolling — the reset fires only on an
+    actual off->on integration transition.
     """
+    import numpy as np
+
     if mode & FOLLOW_START_STOP:
         if rolling and not was_rolling:
-            if mode & FOLLOW_AUTO_RESET:
+            already_on = bool(
+                np.all(np.asarray(getattr(state, "integrating", False)))
+            )
+            if (mode & FOLLOW_AUTO_RESET) and not already_on:
                 if hasattr(meter, "integr_reset"):
                     state = meter.integr_reset(state)
                 elif hasattr(meter, "reset"):

@@ -210,3 +210,63 @@ def test_stream_pipelined_matches_serial():
         np.testing.assert_array_equal(o1[k], o2[k])
     assert bool(jnp.all(s1.hist_m == s2.hist_m))
     assert len(seen) == 2  # 20 chunks, read every 10
+
+
+def test_chunk_array_never_pads_midstream():
+    """A 44.1 kHz-style chunk (22050 % 4 == 2) must not inject zeros
+    between real samples: chunk rounds down to the 4-grain and only the
+    final piece is padded."""
+    from meters_lv2_tpu.io.stream import chunk_array
+
+    x = np.arange(1, 100001, dtype=np.float32)
+    pieces = list(chunk_array(x, 22050))
+    recon = np.concatenate(pieces)
+    n = len(x)
+    np.testing.assert_array_equal(recon[:n], x)  # real samples contiguous
+    assert np.all(recon[n:] == 0) and len(recon) - n < 4  # only tail pad
+    for p in pieces:
+        assert len(p) % 4 == 0
+    # pad=False: exact lengths
+    recon2 = np.concatenate(list(chunk_array(x, 22050, pad=False)))
+    np.testing.assert_array_equal(recon2, x)
+
+
+def test_transport_autoreset_preserves_manual_measurement():
+    """ebu_integrate guard (src/ebulv2.cc:63-73): AUTO_RESET fires only
+    on an actual off->on integration transition — a manually started
+    measurement survives the transport starting to roll."""
+    from meters_lv2_tpu.models.ebur128 import EbuR128Meter
+    from meters_lv2_tpu.utils import transport
+
+    m = EbuR128Meter(FS, nchan=2)
+    x = jnp.asarray(make_signal("mix", 2.0))
+    mode = transport.FOLLOW_START_STOP | transport.FOLLOW_AUTO_RESET
+    st = m.init(())  # integration on by default (manual start analog)
+    st = jax.jit(m.update)(st, x)
+    n1 = int(np.asarray(st.n_lo))
+    assert n1 > 0
+    st = transport.follow(m, st, rolling=True, was_rolling=False, mode=mode)
+    assert int(np.asarray(st.n_lo)) == n1  # NOT reset: already integrating
+    # but a paused measurement IS reset on roll start
+    st = m.integr_pause(st)
+    st = transport.follow(m, st, rolling=True, was_rolling=False, mode=mode)
+    assert int(np.asarray(st.n_lo)) == 0
+
+
+def test_read_wav_decode_errors_propagate(tmp_path):
+    """Native decode errors must not fall back to the python parser
+    (which could silently return a partial decode)."""
+    import pytest
+
+    from meters_lv2_tpu.io.wav import read_wav
+    from meters_lv2_tpu.runtime import native
+
+    p = str(tmp_path / "corrupt.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF\x10\x00\x00\x00WAVEjunk")
+    if native.load() is None:
+        with pytest.raises(Exception):
+            read_wav(p)
+    else:
+        with pytest.raises(IOError):
+            read_wav(p)
