@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 import numpy as np
@@ -78,13 +79,21 @@ def parse_surround_pairs(spec, nchan: int, error):
     if not spec:
         return None
     npair = 4 if nchan > 3 else 3
-    pairs = tuple(
-        tuple(int(v) for v in p.split(":")) for p in spec.split(",")
-    )
+    pairs = []
+    for p in spec.split(","):
+        parts = p.split(":")
+        try:
+            a, b = (int(v) for v in parts)
+        except ValueError:
+            error(f"--surround-pairs entry {p!r} is not A:B integers")
+        if not (0 <= a < nchan and 0 <= b < nchan):
+            error(f"--surround-pairs entry {p!r} out of range "
+                  f"0..{nchan - 1}")
+        pairs.append((a, b))
     if len(pairs) != npair:
         error(f"--surround-pairs needs {npair} A:B pairs for "
               f"{nchan} channels")
-    return pairs
+    return tuple(pairs)
 
 
 def build_meter(name: str, fs: float, nchan: int, surround_pairs=None,
@@ -163,15 +172,26 @@ def _run_display_meters(names, x, lengths, fs):
     return outs
 
 
+def _finite(v: float):
+    """RFC-compliant JSON: -inf (empty radar slots) / NaN become null —
+    json.dumps would emit the non-standard -Infinity/NaN tokens that
+    JSON.parse and jq reject."""
+    v = float(v)
+    return v if math.isfinite(v) else None
+
+
 def _to_py(o):
     if isinstance(o, dict):
         return {k: _to_py(v) for k, v in o.items()}
     arr = np.asarray(o)
     if arr.size > 64:  # don't dump whole histograms unless asked
-        return {"shape": list(arr.shape), "max": float(arr.max())}
+        return {"shape": list(arr.shape), "max": _finite(arr.max())}
     if arr.ndim == 0:
-        return float(arr)
-    return [round(float(v), 6) for v in arr.ravel()]
+        return _finite(arr)
+    return [
+        _finite(v) if not math.isfinite(float(v)) else round(float(v), 6)
+        for v in arr.ravel()
+    ]
 
 
 def _render_views(render_dir, names, outs, files, fs):
@@ -210,7 +230,11 @@ def main(argv=None):
     )
     ap.add_argument("--json", action="store_true", help="machine output")
     ap.add_argument("--chunk-seconds", type=float, default=2.0)
-    ap.add_argument("--ref-level", type=float, default=-18.0)
+    ap.add_argument(
+        "--ref-level", type=float, default=None,
+        help="needle-meter reference level in dBFS (the lv2ttl ref-level"
+             " port; default: each meter's own TTL default, -22)",
+    )
     ap.add_argument(
         "--target-rate", type=int, default=None,
         help="resample mixed-rate inputs to this rate on ingest",
@@ -255,7 +279,9 @@ def main(argv=None):
          for n in pipe_names}, nchan=C
     )
 
-    chunk = int(fs * args.chunk_seconds)
+    # chunk on the meters' 4-sample grain: a non-multiple would inject
+    # padding mid-stream (and 0 would div-by-zero below)
+    chunk = max(4, int(fs * args.chunk_seconds) // 4 * 4)
     Tpad = ((T + chunk - 1) // chunk) * chunk
     x = np.zeros((B, C, Tpad), np.float32)
     x[:, :, :T] = batch.data
@@ -266,13 +292,20 @@ def main(argv=None):
     lengths = (np.asarray(batch.lengths) // 4) * 4
     st = pipe.init((B,))
     st = pipe.run_stream_ragged(st, jnp.asarray(x), lengths, chunk)
-    outs, _ = jax.jit(pipe.read)(st)
+    outs, _ = jax.jit(
+        lambda s: pipe.read(s, ref_level_db=args.ref_level)
+    )(st)
     if disp_names:
         outs = {**outs, **_run_display_meters(disp_names, x, lengths, fs)}
 
     if args.render_dir:
         _render_views(args.render_dir, names, outs, args.files, fs)
 
+    # ONE device->host fetch per leaf (a per-file fetch would issue
+    # B x leaves tiny transfers — seconds of latency through a tunnel)
+    outs = {
+        n: jax.tree_util.tree_map(np.asarray, outs[n]) for n in names
+    }
     results = []
     for i, path in enumerate(args.files):
         row = {"file": path, "seconds": float(batch.lengths[i] / fs)}

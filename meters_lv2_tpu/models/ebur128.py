@@ -126,8 +126,15 @@ class EbuR128Meter:
         self.fs = float(fs)
         self.nchan = nchan
         self.fragm = int(fs) // 20
-        # radar interval (ebu_set_radarspeed, src/ebulv2.cc:75-78)
-        self.radar_spd = max(int(round(radar_seconds * fs / RADAR_POINTS)), 4096)
+        # radar interval (ebu_set_radarspeed, src/ebulv2.cc:75-78).  The
+        # extra fragm floor (beyond the reference's 4096) keeps the
+        # interval >= one loudness sample point: the fragment-rate radar
+        # fires at most once per fragment, which the vectorized event
+        # mapping in update() relies on (only reachable at fs > 81.9 kHz
+        # with radar_seconds < 18 — below the GUI's own 30 s minimum)
+        self.radar_spd = max(
+            int(round(radar_seconds * fs / RADAR_POINTS)), 4096, self.fragm
+        )
         # runtime_radar_speed=True makes the interval a traced state field
         # (set_radar_speed mid-stream, CTL_RADARTIME); False compiles it as
         # a constant so XLA strength-reduces the interval division
@@ -465,7 +472,13 @@ class EbuR128Meter:
         vml = vml.at[..., 0].set(jnp.maximum(vml[..., 0], state.radar_cur_m))
         vms = vms.at[..., 0].set(jnp.maximum(vms[..., 0], state.radar_cur_s))
 
-        ev_fired = ev < total[..., None]
+        # only the LAST RADAR_POINTS fired events write: earlier ones
+        # would be overwritten by the ring wrap anyway, and masking them
+        # keeps ring positions distinct (a single update spanning > 360
+        # intervals would otherwise max-combine instead of last-wins)
+        ev_fired = (ev < total[..., None]) & (
+            ev >= total[..., None] - RADAR_POINTS
+        )
         ppos = (state.radar_pos[..., None] + ev) % RADAR_POINTS
         oh = (
             jnp.arange(RADAR_POINTS, dtype=jnp.int32) == ppos[..., None]
@@ -668,7 +681,7 @@ class EbuR128Meter:
         # (ebu_set_radarspeed, src/ebulv2.cc:75-78)
         sec = jnp.clip(jnp.asarray(seconds, jnp.float32), 30.0, 14400.0)
         spd = jnp.round(sec * self.fs / RADAR_POINTS).astype(jnp.int32)
-        spd = jnp.maximum(spd, 4096)
+        spd = jnp.maximum(spd, max(4096, self.fragm))  # >= one fragment
         return dataclasses.replace(
             state, radar_spd=jnp.broadcast_to(spd, state.radar_spd.shape)
         )

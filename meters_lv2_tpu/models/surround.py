@@ -49,8 +49,14 @@ class SurroundMeter:
                 (i % self.nchan, (i + 1) % self.nchan) for i in range(self.npairs)
             )
         assert len(pairs) == self.npairs
-        self.pairs = tuple((min(int(a), self.nchan - 1), min(int(b), self.nchan - 1))
-                           for a, b in pairs)
+        # clamp BOTH ends into [0, nchan-1] like the reference's port
+        # handler (surmeter.c:122-125); an unclamped negative index would
+        # one_hot to an all-zero row and read a constant-0 correlation
+        self.pairs = tuple(
+            (min(max(int(a), 0), self.nchan - 1),
+             min(max(int(b), 0), self.nchan - 1))
+            for a, b in pairs
+        )
         self.dtype = dtype
 
     def init(self, batch_shape=()) -> SurroundState:

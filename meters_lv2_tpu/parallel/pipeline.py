@@ -113,12 +113,22 @@ class MeterPipeline:
                     _, new[name] = m.process(state[name], x)
         return new
 
-    def read(self, state):
+    def read(self, state, ref_level_db=None):
+        """Read every meter; ref_level_db (the needle meters' reference
+        level port, lv2ttl default -22) is forwarded to readers that
+        take it — None keeps each meter's own default."""
+        import inspect
+
         outs = {}
         new = {}
         for name, m in self.meters.items():
             if hasattr(m, "read"):
-                o, s = m.read(state[name])
+                kw = {}
+                if ref_level_db is not None and (
+                    "ref_level_db" in inspect.signature(m.read).parameters
+                ):
+                    kw["ref_level_db"] = ref_level_db
+                o, s = m.read(state[name], **kw)
             else:
                 o, s = {}, state[name]
             outs[name] = o

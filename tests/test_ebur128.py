@@ -130,3 +130,47 @@ def test_r128_441khz():
     orc.process(np.asarray(x))
     assert abs(float(out["loudness_M"]) - orc.loudness_M) < 0.01
     assert abs(float(out["loudness_S"]) - orc.loudness_S) < 0.01
+
+
+def test_radar_ring_wrap_single_block_matches_streaming():
+    """A single update spanning > 360 radar intervals must leave the
+    same ring as streaming the same audio in chunks (the wrapped ring is
+    last-wins, not max-combined), and per-fragment radar maxima are
+    block-size invariant."""
+    import jax
+
+    m = EbuR128Meter(FS, nchan=1, radar_seconds=0.1)  # spd clamps to 4096
+    secs = 35  # 35 s / 4096-sample interval = 410 events > 360 positions
+    x = _stereo(secs, seed=3)[:1]
+    st1 = m.init(())
+    st1 = jax.jit(m.update)(st1, jnp.asarray(x))
+    st2 = m.init(())
+    upd = jax.jit(m.update)
+    for i in range(secs):
+        st2 = upd(st2, jnp.asarray(x[:, i * FS : (i + 1) * FS]))
+    assert int(np.asarray(st1.radar_pos)) == int(np.asarray(st2.radar_pos))
+    np.testing.assert_allclose(
+        np.asarray(st1.radar_m), np.asarray(st2.radar_m), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.radar_s), np.asarray(st2.radar_s), atol=1e-5
+    )
+    # every position was (over)written during the wrap
+    assert np.isfinite(np.asarray(st1.radar_m)).all()
+
+
+def test_radar_interval_floor_at_96k():
+    """The radar interval clamps to >= one fragment (fs/20): at 96 kHz a
+    sub-18 s radar_seconds would otherwise fire more than one event per
+    loudness sample point and silently drop ring writes."""
+    import jax
+
+    m = EbuR128Meter(96000, nchan=1, radar_seconds=15.0)
+    assert m.radar_spd >= m.fragm
+    rng = np.random.default_rng(4)
+    T = 2 * 96000
+    x = (0.2 * rng.standard_normal((1, T))).astype(np.float32)
+    st = jax.jit(m.update)(m.init(()), jnp.asarray(x))
+    n_written = int(np.isfinite(np.asarray(st.radar_m)).sum())
+    # every COMPLETED 4800-sample interval got its ring write
+    assert n_written == (T - 1) // m.radar_spd

@@ -705,3 +705,87 @@ def test_cli_render_dir_full_collection(tmp_path, capsys):
     assert got == sorted(f"song_{n}.png" for n in applicable_meters(2))
     for f in rd.iterdir():
         assert f.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_ref_level_scales_needles(tmp_path, capsys):
+    """--ref-level must actually reach the needle meters' read(): +6 dB
+    of reference level halves the needle deflection pre-gain x2."""
+    import json
+
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    t = np.arange(FS) / FS
+    x = np.stack([0.1 * np.sin(2 * np.pi * 1000 * t)] * 2).astype(np.float32)
+    p = str(tmp_path / "r.wav")
+    write_wav(p, x, FS)
+
+    def run(extra):
+        rc = main([p, "--meters", "vu", "--json"] + extra)
+        assert rc == 0
+        return json.loads(capsys.readouterr().out)[0]["vu"][0]
+
+    v_def = run([])                      # meter default (-22)
+    v_same = run(["--ref-level", "-22"])
+    v_up = run(["--ref-level", "-16"])   # +6 dB ref -> x2 rlgain
+    np.testing.assert_allclose(v_def, v_same, rtol=1e-6)
+    np.testing.assert_allclose(v_up / v_def, 10 ** (0.05 * 6), rtol=1e-4)
+
+
+def test_cli_json_is_rfc_compliant(tmp_path, capsys):
+    """A file shorter than one radar interval leaves -inf radar slots;
+    the --json output must still be standard JSON (null, never
+    -Infinity/NaN)."""
+    import json
+
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    t = np.arange(FS // 4) / FS  # 0.25 s << radar interval
+    x = np.stack([0.1 * np.sin(2 * np.pi * 440 * t)] * 2).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    write_wav(p, x, FS)
+    rc = main([p, "--meters", "r128", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Infinity" not in out and "NaN" not in out
+    row = json.loads(out)[0]  # parses strictly
+    assert row["r128"]["radar_m"]["max"] is None  # empty ring -> null
+
+
+def test_cli_chunk_seconds_aligns_to_grain(tmp_path, capsys):
+    """A 44.1 kHz-style non-4-aligned chunk request must not crash the
+    needle meters' trace-time grain assert (chunk rounds down)."""
+    import json
+
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    fs = 44100
+    t = np.arange(fs) / fs
+    x = np.stack([0.2 * np.sin(2 * np.pi * 997 * t)] * 2).astype(np.float32)
+    p = str(tmp_path / "c.wav")
+    write_wav(p, x, fs)
+    rc = main([p, "--meters", "vu,k20", "--json",
+               "--chunk-seconds", "0.5"])  # 22050 % 4 == 2 pre-fix
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)[0]["vu"][0] > 0
+
+
+def test_cli_surround_pairs_validation(tmp_path, capsys):
+    """Malformed or out-of-range --surround-pairs die as argparse errors,
+    not tracebacks."""
+    import pytest
+
+    from meters_lv2_tpu.__main__ import main
+    from meters_lv2_tpu.io import write_wav
+
+    x = (0.1 * np.random.default_rng(0).standard_normal((5, FS // 2))).astype(
+        np.float32
+    )
+    p = str(tmp_path / "s5.wav")
+    write_wav(p, x, FS)
+    for bad in ("0:1:2,2:3,0:4,1:4", "0:1,2:3,0:9,1:4", "0:1"):
+        with pytest.raises(SystemExit):
+            main([p, "--meters", "surround", "--surround-pairs", bad])
+        capsys.readouterr()
