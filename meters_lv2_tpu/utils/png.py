@@ -25,6 +25,13 @@ def encode_png(img: np.ndarray) -> bytes:
     """Encode [H, W, 4] uint8 RGBA (or [H, W, 3] RGB / [H, W] gray)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
+        if (np.issubdtype(img.dtype, np.floating) and img.size
+                and float(img.max()) <= 1.0 + 1e-6):
+            raise TypeError(
+                "float image looks normalized to [0, 1] — scale to "
+                "0..255 before encoding (a clip would silently produce "
+                "a black PNG)"
+            )
         img = np.clip(img, 0, 255).astype(np.uint8)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=-1)

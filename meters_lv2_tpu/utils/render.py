@@ -93,8 +93,10 @@ def radar_image(
     img[..., 3] = 255
     c = size / 2.0
     n = len(radar_db)
-    vals = np.clip((np.nan_to_num(radar_db, neginf=floor_db) - floor_db)
-                   / (-floor_db), 0.0, 1.0)
+    vals = np.clip(
+        (np.nan_to_num(radar_db, nan=floor_db, neginf=floor_db) - floor_db)
+        / (-floor_db), 0.0, 1.0,
+    )  # nan -> floor too: the default 0.0 would render full-scale spokes
     for i in range(n):
         ang = 2 * math.pi * ((i - pos) % n) / n - math.pi / 2
         r = vals[i] * (c - 2)
@@ -470,9 +472,11 @@ def phasewheel_image(
     xs = np.rint(c + np.sin(phase) * rr).astype(int)
     ys = np.rint(c - np.cos(phase) * rr).astype(int)
     ok = (bright > 0) & (xs >= 0) & (xs < size) & (ys >= 0) & (ys < size)
+    # max-composite BOTH channels: colliding bins on one pixel must keep
+    # a consistent hue (fancy assignment alone is last-index-wins)
     g = (60 + 195 * bright[ok]).astype(np.uint8)
-    img[ys[ok], xs[ok], 1] = np.maximum(img[ys[ok], xs[ok], 1], g)
-    img[ys[ok], xs[ok], 0] = (0.4 * g).astype(np.uint8)
+    np.maximum.at(img[..., 1], (ys[ok], xs[ok]), g)
+    np.maximum.at(img[..., 0], (ys[ok], xs[ok]), (0.4 * g).astype(np.uint8))
     return img
 
 
@@ -502,8 +506,8 @@ def stereoscope_image(
     bright = np.clip((ldb - floor_db) / (-floor_db), 0.0, 1.0)
     ok = bright > 0
     g = (60 + 195 * bright[ok]).astype(np.uint8)
-    img[yy[ok], xs[ok], 1] = np.maximum(img[yy[ok], xs[ok], 1], g)
-    img[yy[ok], xs[ok], 2] = (0.5 * g).astype(np.uint8)
+    np.maximum.at(img[..., 1], (yy[ok], xs[ok]), g)
+    np.maximum.at(img[..., 2], (yy[ok], xs[ok]), (0.5 * g).astype(np.uint8))
     # center (mono) line
     img[:, size // 2, :3] = np.maximum(img[:, size // 2, :3], 45)
     return img
@@ -528,7 +532,11 @@ def meter_view(name: str, o, fs: float) -> np.ndarray | None:
     if name == "r128":
         return radar_image(o["radar_m"], int(o["radar_pos"]))
     if name in _needle_types:
-        v = o if not isinstance(o, dict) else next(iter(o.values()))
+        if isinstance(o, dict):  # explicit key, not dict insertion order
+            v = o.get("level", o.get("peak"))
+            assert v is not None, f"needle readout keys: {list(o)}"
+        else:
+            v = o
         return needle_image(float(np.max(v)), _needle_types[name])
     if name == "bbcms":
         return needle_image(float(o["mid"]), db.MT_BM6)

@@ -50,18 +50,49 @@ def _ctl_rows(controls) -> str:
     )
 
 
+def _create_names(name: str) -> list[str]:
+    """Registry names behind a schema family: needle/K/dr14/... carry
+    mono/stereo suffixes, so the documented create() call must use the
+    actual creatable name, not the schema family name."""
+    from meters_lv2_tpu.models.base import _REGISTRY
+
+    if name in _REGISTRY:
+        return [name]
+    return [v for v in (name + "mono", name + "stereo") if v in _REGISTRY]
+
+
+# display analyzers expose init/process (readout per call), not
+# init/update/read
+_PROCESS_METERS = {"goniometer", "phasewheel", "stereoscope"}
+
+
 def meter_page(name: str, s) -> str:
     chans = ", ".join(str(c) for c in s.channels)
+    create = " or ".join(
+        f'<code>meters_lv2_tpu.create("{html.escape(v)}", fs)</code>'
+        for v in _create_names(name)
+    )
+    if name in _PROCESS_METERS:
+        life = (
+            "Pure-functional pair: <code>state = m.init(batch_shape)</code>"
+            " &rarr; <code>readout, state = m.process(state, block)</code>"
+            " (display analyzers return their readout every call; there is"
+            " no separate <code>read()</code>)."
+        )
+    else:
+        life = (
+            "Pure-functional triple:"
+            " <code>state = m.init(batch_shape)</code> &rarr;"
+            " <code>state = m.update(state, block)</code> &rarr;"
+            " <code>readout, state = m.read(state)</code>."
+        )
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{html.escape(name)} —
 meters_lv2_tpu</title><style>{_CSS}</style></head><body>
 <div class="nav"><a href="index.html">&larr; all meters</a></div>
 <h1>{html.escape(name)}</h1>
-<p>Create with <code>meters_lv2_tpu.create("{html.escape(name)}", fs)</code>
-(channel counts: {chans}).  Pure-functional triple:
-<code>state = m.init(batch_shape)</code> &rarr;
-<code>state = m.update(state, block)</code> &rarr;
-<code>readout, state = m.read(state)</code>.</p>
+<p>Create with {create}
+(channel counts: {chans}).  {life}</p>
 <h2>Runtime controls</h2>{_ctl_rows(s.inputs)}
 <h2>Readout keys</h2>{_ctl_rows(s.outputs)}
 </body></html>
@@ -108,11 +139,11 @@ def generate(outdir: str) -> list[str]:
     written = []
     for name, s in SCHEMAS.items():
         p = os.path.join(outdir, f"{name}.html")
-        with open(p, "w") as f:
+        with open(p, "w", encoding="utf-8") as f:
             f.write(meter_page(name, s))
         written.append(p)
     p = os.path.join(outdir, "index.html")
-    with open(p, "w") as f:
+    with open(p, "w", encoding="utf-8") as f:
         f.write(index_page(SCHEMAS))
     written.append(p)
     return written
