@@ -63,17 +63,13 @@ _NH = 2 * _HL - 1  # 47-sample true-peak conv history
 _F32 = jnp.float32
 
 
-def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Exact hi/lo bf16 split of an f32 array (pure numpy via ml_dtypes:
-    runs on host even inside a jit trace — the splits embed as constants,
-    never tracers; see the ops/lti.py numpy-cache note)."""
-    import ml_dtypes
-
-    bf16 = np.dtype(ml_dtypes.bfloat16)
-    a = np.asarray(a, np.float32)
-    hi = a.astype(bf16)
-    lo = (a - hi.astype(np.float32)).astype(bf16)
-    return hi, lo
+# shared split algebra (ops/bf16split): pure numpy via ml_dtypes — runs
+# on host even inside a jit trace, so operator splits embed as
+# constants, never tracers (see the ops/lti.py numpy-cache note)
+from .bf16split import (
+    split2_host as _split_bf16_host,
+    split3_host as _split3_host,
+)
 
 
 def _make_kernel(nblk: int, C: int, op, seg_info=None, exact_kw=False):
@@ -398,15 +394,7 @@ def fused_core(
     # passes per block (docs/BENCHMARKS.md round 4)
     exact_kw = _os.environ.get("METERS_TPU_R128_EXACT", "0") == "1"
     if exact_kw:
-        import ml_dtypes as _mld
-
-        bf16 = np.dtype(_mld.bfloat16)
-        a = np.asarray(op.kmat, np.float32)
-        k_h = a.astype(bf16)
-        r = a - k_h.astype(np.float32)
-        k_m = r.astype(bf16)
-        k_l = (r - k_m.astype(np.float32)).astype(bf16)
-        kmats = (k_h, k_m, k_l)
+        kmats = _split3_host(op.kmat)
     else:
         kmats = _split_bf16_host(op.kmat)  # [128, 128] hi/lo
     mth, mtl = _tp_frame_mats()  # [128, 256]

@@ -75,19 +75,11 @@ _F32 = jnp.float32
 _SCAN_STEPS = 7  # log2(128) doubling steps
 
 
-def _split_bf16_host(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    import ml_dtypes
-
-    bf16 = np.dtype(ml_dtypes.bfloat16)
-    a = np.asarray(a, np.float32)
-    hi = a.astype(bf16)
-    lo = (a - hi.astype(np.float32)).astype(bf16)
-    return hi, lo
-
-
-def _split_bf16(a: jax.Array) -> tuple[jax.Array, jax.Array]:
-    hi = a.astype(jnp.bfloat16)
-    return hi, (a - hi.astype(_F32)).astype(jnp.bfloat16)
+# shared split algebra (ops/bf16split)
+from .bf16split import (
+    split2 as _split_bf16,
+    split2_host as _split_bf16_host,
+)
 
 
 def _state_tri_parts(

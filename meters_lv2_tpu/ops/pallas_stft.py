@@ -63,59 +63,14 @@ _W = 8192  # window size (gui/fft.c fft_bins*2 at the analyzers' 4096)
 _D = _W // 2  # data_size
 
 
-def _split3_host(a: np.ndarray):
-    """Exact 3-way bf16 split (hi+mid+lo == a for f32 inputs)."""
-    import ml_dtypes
-
-    bf16 = np.dtype(ml_dtypes.bfloat16)
-    a = np.asarray(a, np.float32)
-    hi = a.astype(bf16)
-    r = a - hi.astype(np.float32)
-    mid = r.astype(bf16)
-    lo = (r - mid.astype(np.float32)).astype(bf16)
-    return hi, mid, lo
-
-
-def _split2_host(a: np.ndarray):
-    """2-way bf16 hi/lo split (residual ~2^-16 rel)."""
-    import ml_dtypes
-
-    bf16 = np.dtype(ml_dtypes.bfloat16)
-    a = np.asarray(a, np.float32)
-    hi = a.astype(bf16)
-    lo = (a - hi.astype(np.float32)).astype(bf16)
-    return hi, lo
-
-
-def _split3(a: jax.Array):
-    hi = a.astype(_BF16)
-    r = a - hi.astype(_F32)
-    mid = r.astype(_BF16)
-    lo = (r - mid.astype(_F32)).astype(_BF16)
-    return hi, mid, lo
-
-
-def _dot6(a: jax.Array, b3) -> jax.Array:
-    """f32-exact a @ b as 6 bf16 MXU passes (3-way splits, drop the
-    <=2^-24-relative cross terms), summed smallest-first."""
-    ah, am, al = _split3(a)
-    bh, bm, bl = b3
-    d = functools.partial(jnp.dot, preferred_element_type=_F32)
-    return (
-        (d(ah, bl) + d(al, bh) + d(am, bm))
-        + (d(ah, bm) + d(am, bh))
-        + d(ah, bh)
-    )
-
-
-def _dot3(a: jax.Array, b2) -> jax.Array:
-    """Precision.HIGH-equivalent a @ b as 3 bf16 MXU passes (2-way hi/lo
-    splits, drop the lo*lo term)."""
-    ah = a.astype(_BF16)
-    al = (a - ah.astype(_F32)).astype(_BF16)
-    bh, bl = b2
-    d = functools.partial(jnp.dot, preferred_element_type=_F32)
-    return (d(ah, bl) + d(al, bh)) + d(ah, bh)
+# shared split/pass algebra (ops/bf16split): one home for the precision
+# helpers used by every kernel
+from .bf16split import (
+    dot3 as _dot3,
+    dot6 as _dot6,
+    split2_host as _split2_host,
+    split3_host as _split3_host,
+)
 
 
 def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
