@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main(paths):
     import jax
+
+    if "--cpu" in sys.argv:  # sitecustomize pins the axon TPU
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from meters_lv2_tpu.io.batch import load_files
@@ -58,7 +61,8 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 2:
+    paths = [a for a in sys.argv[1:] if a != "--cpu"]
+    if not paths:
         print(__doc__)
         sys.exit(2)
-    main(sys.argv[1:])
+    main(paths)

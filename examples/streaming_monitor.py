@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax
+
+    if "--cpu" in sys.argv:  # sitecustomize pins the axon TPU
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from meters_lv2_tpu.models.ebur128 import EbuR128Meter
