@@ -88,7 +88,9 @@ class PhaseWheel:
         D = self.stft.data_size
         import os as _os
 
-        inkernel = _os.environ.get("METERS_TPU_PW_KERNEL_ANALYSIS", "0") == "1"
+        # default ON: measured 25.5k vs 21.1k x at B=256 on-chip (round 4
+        # A/B, docs/BENCHMARKS.md) with exact level parity vs the raw path
+        inkernel = _os.environ.get("METERS_TPU_PW_KERNEL_ANALYSIS", "1") == "1"
         if use_fused:
             W = self.stft.window_size
             ext = jnp.concatenate([state.stft.tail, lr], axis=-1)

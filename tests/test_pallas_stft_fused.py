@@ -126,9 +126,10 @@ def test_phasewheel_inkernel_analysis_matches_raw(_modes):
     """'phasewheel' kernel mode (power/atan2/thresholds in VMEM) vs the
     default raw+XLA analysis: same masks, phase to Cephes-poly rounding."""
     x = _signal(seed=9)
-    ref1, ref2 = _run_phasewheel("interpret", x)
-    os.environ["METERS_TPU_PW_KERNEL_ANALYSIS"] = "1"
+    os.environ["METERS_TPU_PW_KERNEL_ANALYSIS"] = "0"
     try:
+        ref1, ref2 = _run_phasewheel("interpret", x)
+        os.environ["METERS_TPU_PW_KERNEL_ANALYSIS"] = "1"
         got1, got2 = _run_phasewheel("interpret", x)
     finally:
         os.environ.pop("METERS_TPU_PW_KERNEL_ANALYSIS", None)
