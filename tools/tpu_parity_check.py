@@ -226,12 +226,15 @@ def _families():
         ]),
         "spectrum": lambda: max(
             check_spectrum(n) for n in
-            ("spectrum_mix", "spectrum_sine997", "spectrum_44k_mix")
+            ("spectrum_mix", "spectrum_sine997", "spectrum_44k_mix",
+             "spectrum_96k_mix")
         ),
         # exact histogram + <=0.01 dB readouts (asserts inside)
         "dr14": lambda: _run_tests([
             lambda: tgp.test_dr14_parity("dr14"),
             lambda: tgp.test_dr14_parity("dr14mono"),
+            lambda: tgp.test_dr14_parity("dr14_44k"),
+            lambda: tgp.test_dr14_parity("dr14_96k"),
             tgp.test_tpnrms_parity,
         ]),
         # exact integer counters (asserts inside; 0.0 on success)
@@ -240,7 +243,20 @@ def _families():
         # one STFT meter (power/phase per frame vs fftw-free golden)
         "stft": lambda: _run_tests([tfp.test_stft_parity]),
         "stcorr": lambda: _run_tests([tgp.test_stcorr_parity]),
-        "surround": lambda: _run_tests([tgp.test_surround_parity]),
+        "surround": lambda: _run_tests([
+            lambda p=p: tgp.test_surround_parity(p)
+            for p in ("surround3", "surround5", "surround7", "surround8")
+        ]),
+        # fused Pallas STFT analyzers on-chip (44.1k prefixes exercise the
+        # XLA fallback gate)
+        "phasewheel": lambda: _run_tests([
+            lambda: tfp.test_phasewheel_parity("phasewheel"),
+            lambda: tfp.test_phasewheel_parity("phasewheel_44k"),
+        ]),
+        "stereoscope": lambda: _run_tests([
+            lambda: tfp.test_stereoscope_parity("stereoscope"),
+            lambda: tfp.test_stereoscope_parity("stereoscope_44k"),
+        ]),
         # GUI-thread analyzers + the zita resampler (MXU polyphase convs)
         "goniometer": lambda: _run_tests([
             lambda: tfp.test_goniometer_parity("goniometer"),
@@ -278,9 +294,9 @@ def main(argv):
             w = fams[n]()
             results[n] = w
             print(f"[{n:10s}] worst {w:.5f} dB  ({time.time()-t0:.0f}s)  OK")
-        except AssertionError as e:
+        except Exception as e:  # incl. harness errors — keep sweeping
             failed.append(n)
-            print(f"[{n:10s}] FAIL ({time.time()-t0:.0f}s): {e}")
+            print(f"[{n:10s}] FAIL ({time.time()-t0:.0f}s): {e!r}")
     print()
     print("family      worst-dB   (exactness families assert ==)")
     for n, w in results.items():
