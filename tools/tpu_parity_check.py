@@ -154,6 +154,10 @@ def check_spectrum(name):
     upd = jax.jit(lambda s, xb: m.update(s, xb, stereo=True))
     reads = iter(fx["reads"])
     worst = 0.0
+    worst_sig = 0.0  # bins the golden run puts above -60 dBFS (signal, not
+    # stopband leakage: the strict worst lands on transient leakage bins at
+    # -85..-90 dB, where filter rounding is relatively largest — see
+    # docs/PARITY.md spectrum note)
     for b in range(x.shape[1] // fx["block"]):
         st = upd(st, jnp.asarray(x[:, b * fx["block"] : (b + 1) * fx["block"]]))
         if (b + 1) % fx["read_every"] == 0:
@@ -167,7 +171,12 @@ def check_spectrum(name):
                     if want <= -99.9:
                         assert got <= -99.0, (name, i, got, want)
                     else:
-                        worst = max(worst, abs(float(got) - want))
+                        err = abs(float(got) - want)
+                        worst = max(worst, err)
+                        if want > -60.0:
+                            worst_sig = max(worst_sig, err)
+    print(f"  {name}: worst {worst:.5f} dB, in-band(>-60dBFS) "
+          f"{worst_sig:.5f} dB")
     return worst
 
 
