@@ -25,6 +25,14 @@ def _serial_reference(t, z1, z2, w1, w2, w3, track_peak):
     z2 = z2.copy()
     m = np.zeros(B, np.float32)
     p = np.zeros(B, np.float32)
+    # NaN rows exercise the flush path; np.where evaluates both branches,
+    # so the unselected NaN arithmetic would warn without this guard
+    with np.errstate(invalid="ignore"):
+        return _serial_loop(t, z1, z2, m, p, w1, w2, w3, track_peak)
+
+
+def _serial_loop(t, z1, z2, m, p, w1, w2, w3, track_peak):
+    B, T = t.shape
     for g in range(T // 4):
         z1 *= np.float32(w3)
         z2 *= np.float32(w3)
