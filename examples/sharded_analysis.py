@@ -44,7 +44,11 @@ def _ensure_devices(n: int) -> None:
 def main():
     import jax
 
-    if os.environ.get("_METERS_EXAMPLE_REEXEC"):
+    # --cpu must pin the platform BEFORE _ensure_devices touches the
+    # backend (jax.device_count() initializes it; sitecustomize registers
+    # the axon TPU plugin, so without this the "CPU subprocess" would
+    # probe — or run on — the chip).
+    if "--cpu" in sys.argv or os.environ.get("_METERS_EXAMPLE_REEXEC"):
         jax.config.update("jax_platforms", "cpu")
     _ensure_devices(8)
 

@@ -58,18 +58,29 @@ class KMeter:
             flag=jnp.zeros(batch_shape, bool),
         )
 
-    def update(self, state: KMeterState, x: jax.Array) -> KMeterState:
+    def block_core(
+        self, z: jax.Array, x: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Raw smoother advance + NaN-skipped block max of x^2; no entry
+        clamp or finalize (the per-process() pieces live in update /
+        finalize so a fused kernel covering the bulk of a block can chain
+        an XLA tail through the same epilogue)."""
         *batch, T = x.shape
         assert T % 4 == 0
-        fall = jnp.float32(10.0 ** (-0.05 * 15.0 * (T / self.fs)))
-
-        z = jnp.clip(state.z, 0.0, 50.0)
         sq = jnp.square(x)
         # block digital peak (of x^2); NaN samples are skipped as the
         # reference's `if (t >= _peak)` comparison does (kmeterdsp.cc:124)
         # — a NaN must not erase the block's legitimate peak
         t = jnp.max(jnp.where(jnp.isnan(sq), 0.0, sq), axis=-1)
         _, z = self.sys.apply(sq.reshape(*batch, T // 4, 4), z)
+        return z, t
+
+    def finalize(
+        self, state: KMeterState, z: jax.Array, t: jax.Array, T: int
+    ) -> KMeterState:
+        """Per-process()-call epilogue on the advanced smoother state z
+        and the block max t of x^2 (kmeterdsp.cc:101-139)."""
+        fall = jnp.float32(10.0 ** (-0.05 * 15.0 * (T / self.fs)))
 
         # NaN flush (kmeterdsp.cc:101-107)
         z = jnp.where(jnp.isnan(z), 0.0, z)
@@ -93,6 +104,11 @@ class KMeter:
             jnp.where(holding, state.cnt - T, state.cnt),
         )
         return KMeterState(z=z, rms=rms, peak=peak, cnt=cnt, flag=jnp.zeros_like(state.flag))
+
+    def update(self, state: KMeterState, x: jax.Array) -> KMeterState:
+        z = jnp.clip(state.z, 0.0, 50.0)  # entry clamp (kmeterdsp.cc:101)
+        z, t = self.block_core(z, x)
+        return self.finalize(state, z, t, x.shape[-1])
 
     def read(self, state: KMeterState):
         """Returns ({'rms', 'peak'}, state).  No rlgain argument: the

@@ -32,7 +32,7 @@ def _serial_reference(t, z1, z2, w1, w2, w3, track_peak):
 
 
 def _serial_loop(t, z1, z2, m, p, w1, w2, w3, track_peak):
-    B, T = t.shape
+    T = t.shape[1]
     for g in range(T // 4):
         z1 *= np.float32(w3)
         z2 *= np.float32(w3)

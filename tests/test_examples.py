@@ -53,14 +53,21 @@ def test_examples_smoke(tmp_path):
         ),
     }
     outs = {}
-    for name, p in procs.items():
-        try:
-            outs[name], _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            outs[name], _ = p.communicate()
-            pytest.fail(f"{name} timed out; tail:\n{outs[name][-2000:]}")
-        assert p.returncode == 0, f"{name} failed:\n{outs[name][-2000:]}"
+    try:
+        for name, p in procs.items():
+            try:
+                outs[name], _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                outs[name], _ = p.communicate()
+                pytest.fail(f"{name} timed out; tail:\n{outs[name][-2000:]}")
+            assert p.returncode == 0, f"{name} failed:\n{outs[name][-2000:]}"
+    finally:
+        # an early fail must not leak the remaining jax subprocesses
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
 
     out = outs["batch_loudness"]
     # both files loud enough for a finite gated I (~ -8 LUFS)
