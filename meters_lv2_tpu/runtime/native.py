@@ -37,23 +37,57 @@ METER_KINDS = {
 
 _lib = None
 
+_SOURCES = ("Makefile", "engine.cc", "wavio.cc", "meters_native.h")
+_STAMP_PATH = _LIB_PATH + ".srchash"
 
-def _build() -> bool:
+
+def _src_hash() -> str:
+    """Content hash of the native sources: the .so is built on demand and
+    never committed, and a binary whose stamp doesn't match the sources is
+    rebuilt — a stale library can't silently diverge from engine.cc (it is
+    the third parity leg, tests/test_native.py)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in _SOURCES:
+        with open(os.path.join(_NATIVE_DIR, name), "rb") as f:
+            h.update(name.encode())
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _stamp() -> str | None:
+    try:
+        with open(_STAMP_PATH) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _build(want: str) -> bool:
     try:
         subprocess.run(
-            ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            ["make", "-C", _NATIVE_DIR, "-B"], check=True,
+            capture_output=True,
         )
-        return True
     except Exception:
         return False
+    with open(_STAMP_PATH, "w") as f:
+        f.write(want)
+    return True
 
 
 def load():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load the native library, (re)building whenever the source hash
+    stamp is missing or stale; None if unavailable (callers degrade to
+    the pure-Python paths)."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    want = _src_hash()
+    if (not os.path.exists(_LIB_PATH) or _stamp() != want) and not _build(
+        want
+    ):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.mt_wav_read.argtypes = [

@@ -19,12 +19,9 @@ namespace {
 
 constexpr int kHl = 24;  // true-peak polyphase half-length
 
-// windowed sinc table h(t) = sinc(t) * (0.384 + 0.5 cos(pi t/hl) +
-// 0.116 cos(2 pi t/hl)); 4-phase interpolation taps, phase ph tap i
-// applies to x[t - 2*hl + 1 + i].
 // Generic polyphase interpolation taps: phase ph tap i applies to
-// x[t - 2*hl + 1 + i]; h(t) = sinc(t) * (0.384 + 0.5 cos(pi t/hl) +
-// 0.116 cos(2 pi t/hl)).
+// x[t - 2*hl + 1 + i]; windowed sinc h(t) = sinc(t) * (0.384 +
+// 0.5 cos(pi t/hl) + 0.116 cos(2 pi t/hl)).
 static std::vector<float> make_poly_taps(int factor, int hl) {
   std::vector<float> taps((size_t)factor * 2 * hl);
   for (int ph = 0; ph < factor; ++ph) {
@@ -122,6 +119,11 @@ struct SpectrumState {
   float omega = 0;
 };
 
+// Close transcription of the reference's band-filter design math
+// (x42 spectr.c:89-206 bandpass_setup: same intermediates c_a/c_b/ab_2/
+// u0/u1 and op order) — bit-faithful coefficient agreement IS the parity
+// requirement here, so the design math must be the same math; the
+// process loops below remain independently structured.
 static void design_band(SpectrumBand* bd, double rate, double freq,
                         double band) {
   const int order = 6;

@@ -369,3 +369,22 @@ def test_native_wav_rejects_malformed(tmp_path):
         f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
     with pytest.raises(IOError):
         native.wav_read(p)
+
+
+@pytest.mark.skipif(not _have_native(), reason="no native toolchain")
+def test_native_stale_binary_rebuilds():
+    """The .so is never committed and carries a source-hash stamp; a
+    stamp that doesn't match the sources forces a rebuild on next load,
+    so a stale binary can't silently diverge from engine.cc."""
+    assert os.path.exists(native._STAMP_PATH)
+    assert native._stamp() == native._src_hash()
+    mtime0 = os.path.getmtime(native._LIB_PATH)
+    with open(native._STAMP_PATH, "w") as f:
+        f.write("tampered")
+    native._lib = None  # drop the cached handle
+    try:
+        assert native.load() is not None
+    finally:
+        native._lib = None
+    assert native._stamp() == native._src_hash()
+    assert os.path.getmtime(native._LIB_PATH) >= mtime0
