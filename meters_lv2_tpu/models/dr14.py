@@ -117,6 +117,24 @@ class DR14Meter:
         seg_sum = seg_sum.at[..., 0].add(state.rms_sum)
 
         ncomp = (state.scnt + T) // win_len  # completed windows
+        return self._dr_epilogue(
+            state, km, tp, seg_sum, seg_peak, ncomp,
+            (state.scnt + T) % win_len,
+        )
+
+    def _dr_epilogue(
+        self, state, km, tp, seg_sum, seg_peak, ncomp, scnt_new
+    ) -> "DR14State":
+        """DR measurement from per-window sums/peaks (dr14.c:263-343).
+
+        Split out of update() so the sequence-parallel whole-file path
+        (parallel.meters_sharded.analyze_dr14) can feed GLOBAL window
+        sums assembled across time shards through the identical gate /
+        histogram / top-2 logic.
+        seg_sum/seg_peak: [..., C, n_slots] (slot 0 already carries any
+        open-window continuation); ncomp: [...] completed windows.
+        """
+        *batch, C, n_slots = seg_sum.shape
         slot = jnp.arange(n_slots, dtype=jnp.int32)
         validb = slot < ncomp[..., None]  # [..., n_slots]
 
@@ -168,7 +186,7 @@ class DR14Meter:
             rms_sum=rms_sum,
             peak_cur=peak_cur,
             peak_top2=top2,
-            scnt=(state.scnt + T) % win_len,
+            scnt=scnt_new,
             num_windows=state.num_windows + counted.sum(-1, dtype=jnp.int32),
             hist=hist,
         )

@@ -114,9 +114,28 @@ class SigDistMeter:
         maps, computed with `lax.associative_scan` (log-depth, no serial
         loop), then var_s increments close over (val - m_t)(val - m_{t-1}).
         """
-        *batch, T = x.shape
+        U, B = self._oor_maps(x, ok, state.time)
+        m0 = state.mean[..., None]
+        m = m0 - U * m0 + B  # var_m AFTER sample t
+        m_prev = jnp.concatenate(
+            [state.mean[..., None], m[..., :-1]], axis=-1
+        )
+        var_s_inc = jnp.where(ok, (x - m) * (x - m_prev), 0.0).sum(-1)
+        return m[..., -1], state.m2 + var_s_inc
+
+    @staticmethod
+    def _oor_maps(x: jax.Array, ok: jax.Array, time0: jax.Array):
+        """Prefix composition (U, B) of the quirk mean's per-sample affine
+        maps m -> (1-u) m + b, u/b carried in complement form (see
+        _oor_welford).  time0: [...] int32 global sample count BEFORE this
+        block (may be traced — the sequence-parallel path passes each time
+        shard's absolute offset).  Exposed so parallel.meters_sharded can
+        compose the quirk chain across shards: the maps are independent of
+        the entry mean, so shard k's entry is the fold of shards < k's
+        end-of-block maps applied to the stream-start mean."""
+        T = x.shape[-1]
         # 1-based global index of each sample, counting out-of-range too
-        cnt = (state.time[..., None]
+        cnt = (time0[..., None]
                + jnp.arange(1, T + 1, dtype=jnp.int32)).astype(x.dtype)
         # the affine map's multiplier is carried in COMPLEMENT form
         # u = 1/cnt (a = 1 - u): computing a directly would round
@@ -134,13 +153,7 @@ class SigDistMeter:
             return u1 + u2 - u1 * u2, b1 - u2 * b1 + b2
 
         U, B = jax.lax.associative_scan(comp, (u, b), axis=-1)
-        m0 = state.mean[..., None]
-        m = m0 - U * m0 + B  # var_m AFTER sample t
-        m_prev = jnp.concatenate(
-            [state.mean[..., None], m[..., :-1]], axis=-1
-        )
-        var_s_inc = jnp.where(ok, (x - m) * (x - m_prev), 0.0).sum(-1)
-        return m[..., -1], state.m2 + var_s_inc
+        return U, B
 
     def read(self, state: SigDistState):
         """sdh_histogram atom contents (sigdistlv2.c:332-355)."""
