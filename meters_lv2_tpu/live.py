@@ -4,9 +4,13 @@ in a JACK client + interactive GUI, Makefile:281-446, gui/meters.c:43-57).
 
     python -m meters_lv2_tpu.live FILE.wav [--meters r128,truepeak,...]
                                   [--port 8765] [--fps 10] [--speed 1.0]
+    some-source | python -m meters_lv2_tpu.live --stdin --rate 48000 \\
+                                  --channels 2 --format f32
 
 One feeder thread paces chunks of the file through the meters at
-``--speed`` x realtime (0 = unpaced) while an embedded zero-dependency
+``--speed`` x realtime (0 = unpaced) — or, with ``--stdin``, meters a
+live raw-audio stream at the producer's own pace (the JACK-capture
+analog; see feed_stream) — while an embedded zero-dependency
 HTTP server serves an auto-refreshing dashboard: every selected meter's
 inline view (utils/render.meter_view) as PNG plus a JSON readout, with
 the reference EBU GUI's transport controls (integration start / pause /
@@ -32,8 +36,14 @@ import numpy as np
 from .__main__ import DISPLAY_METERS, build_meter, _to_py
 
 # gui/ebur.c BTN_START/PAUSE/RESET + the radar-clear control
-# (CTL_LV2_RESETRADAR vocabulary word; EbuR128Meter.radar_reset)
-_CONTROLS = ("start", "pause", "reset", "reset_radar")
+# (CTL_LV2_RESETRADAR vocabulary word; EbuR128Meter.radar_reset) +
+# the K-meter wrapper's ref-level-edge peak-hold reset
+# (src/meters.cc:337-357; KMeter.reset_peak)
+_CONTROLS = ("start", "pause", "reset", "reset_radar", "reset_peak")
+
+# meters whose read() takes the reference-level port
+# (src/meters.cc:303-306 rlgain; lv2ttl default -22 dBFS)
+_NEEDLES = ("vu", "din", "nor", "bbc", "ebu", "bbcms")
 
 
 class LiveEngine:
@@ -55,13 +65,24 @@ class LiveEngine:
         self._display = {}
         win = 0
         pipe_meters = {}
+        import inspect
+
         for n in self.names:
             m = build_meter(n, fs, nchan, surround_pairs=surround_pairs,
                             runtime_ports=True)
             if n in DISPLAY_METERS:
                 hop = m.stft.hop if hasattr(m, "stft") else 4
                 w = hop * max(1, int(round(fs / hop)))  # ~1 s, hop-aligned
-                self._display[n] = (m, w, jax.jit(m.process))
+                # goniometer's autogain toggle is python control flow —
+                # a static jit arg (two cached traces, one per mode)
+                has_ag = (
+                    "autogain" in inspect.signature(m.process).parameters
+                )
+                proc = jax.jit(
+                    m.process,
+                    static_argnames=("autogain",) if has_ag else (),
+                )
+                self._display[n] = (m, w, proc, has_ag)
                 win = max(win, w)
             else:
                 pipe_meters[n] = m
@@ -76,7 +97,12 @@ class LiveEngine:
             if "bbcms" in pipe_meters else {}
         )
         self._update = jax.jit(self._pipe.update)
-        self._read = jax.jit(self._pipe.read)
+        # per-needle reference levels ride read() as traced scalars (same
+        # float abstract value -> one compile covers every dial position)
+        self._needles = tuple(n for n in pipe_meters if n in _NEEDLES)
+        self._read = jax.jit(
+            lambda st, rl: self._pipe.read(st, ref_level_db=rl)
+        )
         # trailing-window ring for the GUI-thread analyzers (the analog of
         # the reference GUI reading the most recent ring-buffer audio)
         self._ring = np.zeros((nchan, max(win, 4)), np.float32)
@@ -98,6 +124,19 @@ class LiveEngine:
                 pipe_meters["r128"].radar_spd * RADAR_POINTS / self.fs)
         if "bbcms" in pipe_meters:
             self._port_values[("bbcms", "s20")] = 0.0
+        # host-held read/display ports (no setter: the value is re-read at
+        # every readout/frame, exactly like an LV2 control port)
+        for n in self._needles:
+            self._port_values[(n, "ref_level_db")] = -22.0
+        if "goniometer" in self._display:
+            # gui/goniometer.c prefs, persisted via LV2 State
+            # (src/goniometerlv2.c:210-293)
+            self._port_values[("goniometer", "autogain")] = 1.0
+            self._port_values[("goniometer", "gain")] = 1.0
+            self._port_values[("goniometer", "persistence")] = 0.33
+        for n in ("phasewheel", "stereoscope"):
+            if n in self._display:  # display floor (gui/phasewheel.c:1296)
+                self._port_values[(n, "floor_db")] = -60.0
 
     def feed(self, block: np.ndarray):
         """Ingest one [C, T] block (any T).  Only the 4-aligned prefix is
@@ -134,11 +173,20 @@ class LiveEngine:
             return self._snap[1]
         outs = {}
         if self._pipe.meters:
-            pouts, self._state = self._read(self._state)
+            rl = {
+                n: self._port_values[(n, "ref_level_db")]
+                for n in self._needles
+            }
+            pouts, self._state = self._read(self._state, rl)
             for n in self._pipe.meters:
                 outs[n] = jax.tree_util.tree_map(np.asarray, pouts[n])
-        for n, (m, w, proc) in self._display.items():
-            o, _ = proc(m.init(()), self._ring[..., -w:])
+        for n, (m, w, proc, has_ag) in self._display.items():
+            kw = {}
+            if has_ag:
+                kw["autogain"] = bool(
+                    self._port_values.get((n, "autogain"), 1.0)
+                )
+            o, _ = proc(m.init(()), self._ring[..., -w:], **kw)
             outs[n] = jax.tree_util.tree_map(np.asarray, o)
         self._snap = (gen, outs)
         return outs
@@ -164,7 +212,10 @@ class LiveEngine:
             if hit is not None and hit[0] == gen:
                 return hit[1]
             out = self._outs()[n]
-        img = meter_view(n, out, self.fs)
+            prefs = {
+                p: v for (mm, p), v in self._port_values.items() if mm == n
+            }
+        img = meter_view(n, out, self.fs, prefs=prefs)
         png = encode_png(img) if img is not None else b""
         with self._lock:
             self._frames[n] = (gen, png)
@@ -185,7 +236,12 @@ class LiveEngine:
                 if n not in self._pipe.meters:
                     continue
                 m = self._pipe.meters[n]
-                if n == "r128":
+                if action == "reset_peak":
+                    # ref-level port edge = peak-hold reset on the K
+                    # meters (src/meters.cc:337-357)
+                    if hasattr(m, "reset_peak"):
+                        self._state[n] = m.reset_peak(self._state[n])
+                elif n == "r128":
                     if action == "reset_radar":
                         self._state[n] = m.radar_reset(self._state[n])
                     else:
@@ -194,8 +250,12 @@ class LiveEngine:
                 elif action == "reset":
                     self._state[n] = self._pipe.init(())[n]
                     for (pm, pp), v in self._port_values.items():
-                        if pm == n:
-                            getattr(self, self.PORTS[(pm, pp)])(v)
+                        # host-held read/display ports have no setter —
+                        # they are re-read at every readout, so a reset
+                        # cannot revert them
+                        setter = self.PORTS.get((pm, pp))
+                        if pm == n and setter is not None:
+                            getattr(self, setter)(v)
             self.generation += 1
 
     # runtime control ports: (meter, param) -> setter.  Each is either a
@@ -209,14 +269,25 @@ class LiveEngine:
     }
 
     def set_port(self, meter: str, param: str, value: float):
-        """Write one runtime control port, like an LV2 port event."""
+        """Write one runtime control port, like an LV2 port event.
+
+        Traced/state ports go through their setter (PORTS); host-held
+        read/display ports (needle ref-level, goniometer prefs, display
+        floors — every key seeded in _port_values) just store the value:
+        it is re-read at the next readout/frame, exactly like an LV2
+        control port the host rewrites before run()."""
         setter = self.PORTS.get((meter, param))
-        if setter is None or meter not in self._pipe.meters:
+        if setter is not None and meter in self._pipe.meters:
+            with self._lock:
+                getattr(self, setter)(float(value))
+                self._port_values[(meter, param)] = float(value)
+                self.generation += 1
+        elif (meter, param) in self._port_values:
+            with self._lock:
+                self._port_values[(meter, param)] = float(value)
+                self.generation += 1
+        else:
             raise ValueError(f"unknown port {meter}.{param}")
-        with self._lock:
-            getattr(self, setter)(float(value))
-            self._port_values[(meter, param)] = float(value)
-            self.generation += 1
 
     def port_values(self) -> dict:
         """Current runtime port values as '{meter}.{param}' -> float
@@ -337,6 +408,22 @@ if (meters.includes('r128')) ports.innerHTML +=
 if (meters.includes('bbcms')) ports.innerHTML +=
   ` <label>S20 <input type=checkbox ${portv['bbcms.s20'] ? 'checked' : ''}
     onchange="port('bbcms','s20',this.checked?1:0)"></label>`;
+// generic widgets for the remaining runtime ports (needle ref-level,
+// goniometer prefs, display floors): checkbox for toggles, number input
+// otherwise — the LV2 host port-widget analog
+const special = new Set(['spectrum.speed','r128.radar_seconds','bbcms.s20']);
+for (const [k, v] of Object.entries(portv)) {
+  if (special.has(k)) continue;
+  const [m, p] = k.split('.');
+  if (p === 'autogain' || p === 's20') ports.innerHTML +=
+    ` <label>${k} <input type=checkbox ${v ? 'checked' : ''}
+      onchange="port('${m}','${p}',this.checked?1:0)"></label>`;
+  else ports.innerHTML +=
+    ` ${k} <input type=number value=${v} step=0.1 style="width:4.5em"
+      onchange="port('${m}','${p}',this.value)">`;
+}
+if (meters.some(m => m.startsWith('k1') || m === 'k20')) ports.innerHTML +=
+  ` <button onclick="ctl('reset_peak')">peak reset</button>`;
 setInterval(() => {
   const t = Date.now();
   for (const m of meters)
@@ -443,10 +530,71 @@ def feed_file(engine: LiveEngine, data: np.ndarray, fs: float,
                 time.sleep(lag)
 
 
+def feed_stream(engine: LiveEngine, fh, nchan: int, fmt: str = "f32",
+                chunk: int = 4096, stop=None) -> int:
+    """Continuous raw-audio ingest from a binary stream (stdin, a pipe,
+    a socket file) — the live-capture analog of the reference's JACK
+    process() callback feeding each plugin (src/goniometerlv2.c:106-174
+    is built for continuous capture; here the OS pipe is the transport,
+    the upstream producer sets the pace).
+
+    `fmt`: 'f32' (little-endian float32) or 's16' (little-endian int16,
+    scaled by 1/32768); frames are channel-interleaved.  Bytes are cut
+    at frame boundaries and frames at the 4-sample measurement grain:
+    the sub-grain remainder of each read carries into the next block, so
+    mid-stream no real sample is ever dropped from measurement and
+    zero-padding is never fed (feed()'s padding-never-measured
+    invariant).  At EOF the final sub-grain frames still reach the
+    display ring via feed()'s prefix rule.  Returns frames fed."""
+    if fmt not in ("f32", "s16"):
+        raise ValueError(f"unknown sample format {fmt!r}")
+    dt = np.dtype("<f4" if fmt == "f32" else "<i2")
+    frame_bytes = nchan * dt.itemsize
+    buf = b""
+    carry = np.zeros((nchan, 0), np.float32)
+    fed = 0
+    while stop is None or not stop.is_set():
+        data = fh.read(max(chunk, 4) * frame_bytes)
+        eof = not data
+        buf += data
+        nframes = len(buf) // frame_bytes
+        if nframes:
+            raw = np.frombuffer(buf[: nframes * frame_bytes], dt)
+            buf = buf[nframes * frame_bytes:]
+            blk = raw.astype(np.float32).reshape(nframes, nchan).T
+            if fmt == "s16":
+                blk = blk * np.float32(1.0 / 32768.0)
+            blk = np.concatenate([carry, blk], axis=-1)
+        else:
+            blk = carry
+        if eof:
+            if blk.shape[-1]:
+                engine.feed(blk)
+                fed += blk.shape[-1]
+            break
+        T4 = blk.shape[-1] // 4 * 4
+        if T4:
+            engine.feed(blk[..., :T4])
+            fed += T4
+        carry = blk[..., T4:]
+    return fed
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="meters_lv2_tpu.live", description=__doc__)
-    ap.add_argument("file", help="WAV file to stream")
+    ap.add_argument("file", nargs="?", default=None,
+                    help="WAV file to stream (omit with --stdin)")
+    ap.add_argument("--stdin", action="store_true",
+                    help="meter a live raw-audio stream from stdin"
+                         " (interleaved --format frames at --rate);"
+                         " the producer sets the pace")
+    ap.add_argument("--rate", type=float, default=48000.0,
+                    help="sample rate of the --stdin stream")
+    ap.add_argument("--channels", type=int, default=2,
+                    help="channel count of the --stdin stream")
+    ap.add_argument("--format", choices=("f32", "s16"), default="f32",
+                    help="sample format of the --stdin stream")
     ap.add_argument("--meters", default="r128,truepeak")
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--fps", type=float, default=10.0)
@@ -475,14 +623,21 @@ def main(argv=None):
     from .__main__ import parse_surround_pairs, validate_meters
     from .io.wav import read_wav
 
-    data, fs = read_wav(args.file)
-    if data.ndim == 1:
-        data = data[None]
-    names = validate_meters(args.meters, data.shape[0], ap.error)
-    spairs = parse_surround_pairs(args.surround_pairs, data.shape[0],
-                                  ap.error)
+    if args.stdin == (args.file is not None):
+        ap.error("give exactly one input: a WAV file or --stdin")
+    if args.stdin:
+        data, fs, nchan = None, float(args.rate), int(args.channels)
+        if fs <= 0 or nchan <= 0:
+            ap.error("--stdin needs positive --rate and --channels")
+    else:
+        data, fs = read_wav(args.file)
+        if data.ndim == 1:
+            data = data[None]
+        nchan = data.shape[0]
+    names = validate_meters(args.meters, nchan, ap.error)
+    spairs = parse_surround_pairs(args.surround_pairs, nchan, ap.error)
 
-    engine = LiveEngine(names, fs, data.shape[0], surround_pairs=spairs)
+    engine = LiveEngine(names, fs, nchan, surround_pairs=spairs)
     if args.resume and args.state_file and os.path.exists(args.state_file):
         engine.load(args.state_file)
         print(f"resumed session from {args.state_file} "
@@ -495,10 +650,14 @@ def main(argv=None):
           f"({','.join(names)})", flush=True)
     chunk = max(4, int(fs * args.chunk_seconds) // 4 * 4)
     try:
-        while True:
-            feed_file(engine, data, fs, chunk, args.speed)
-            if not args.loop:
-                break
+        if args.stdin:
+            feed_stream(engine, sys.stdin.buffer, nchan,
+                        fmt=args.format, chunk=chunk)
+        else:
+            while True:
+                feed_file(engine, data, fs, chunk, args.speed)
+                if not args.loop:
+                    break
         print("stream done; serving final state (ctrl-C to exit)",
               flush=True)
         while True:

@@ -120,6 +120,16 @@ class KMeter:
     def reset(self, state: KMeterState) -> KMeterState:
         return self.init(state.rms.shape)
 
+    def reset_peak(self, state: KMeterState) -> KMeterState:
+        """Clear the held digital peak only — the K-meter wrapper re-uses
+        its ref-level port edge as a peak-hold reset (src/meters.cc:
+        337-357); the RMS needle and smoother state are untouched."""
+        return dataclasses.replace(
+            state,
+            peak=jnp.zeros_like(state.peak),
+            cnt=jnp.zeros_like(state.cnt),
+        )
+
 
 @register("K12mono")
 @register("K12stereo")

@@ -116,7 +116,10 @@ class MeterPipeline:
     def read(self, state, ref_level_db=None):
         """Read every meter; ref_level_db (the needle meters' reference
         level port, lv2ttl default -22) is forwarded to readers that
-        take it — None keeps each meter's own default."""
+        take it — None keeps each meter's own default.  A dict maps
+        meter name -> per-instance level (the live shell's runtime
+        ports, one ref-level dial per plugin as in src/meters.cc:
+        303-306); absent names keep their default."""
         import inspect
 
         outs = {}
@@ -124,10 +127,12 @@ class MeterPipeline:
         for name, m in self.meters.items():
             if hasattr(m, "read"):
                 kw = {}
-                if ref_level_db is not None and (
+                rl = (ref_level_db.get(name)
+                      if isinstance(ref_level_db, dict) else ref_level_db)
+                if rl is not None and (
                     "ref_level_db" in inspect.signature(m.read).parameters
                 ):
-                    kw["ref_level_db"] = ref_level_db
+                    kw["ref_level_db"] = rl
                 o, s = m.read(state[name], **kw)
             else:
                 o, s = {}, state[name]

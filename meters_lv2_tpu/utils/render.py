@@ -416,12 +416,16 @@ def goniometer_image(
     y: np.ndarray,
     gain: float = 1.0,
     size: int = 200,
+    persistence: float = 0.33,
 ) -> np.ndarray:
     """Render a goniometer (vectorscope) trace -> [size, size, 4] RGBA.
 
     Mirrors draw_rb's point plot (gui/goniometer.c:340-470): screen
     position = center - gain * (ax, ay) * radius, accumulated with additive
-    intensity (the GUI's alpha build-up).
+    intensity (the GUI's alpha build-up).  `persistence` scales the
+    per-point alpha build-up like the GUI's persistence preference
+    (gui/goniometer.c setting, persisted via LV2 State,
+    src/goniometerlv2.c:210-293); 0.33 matches the prior fixed look.
     """
     img = np.zeros((size, size, 4), np.uint8)
     img[..., 3] = 255
@@ -434,7 +438,9 @@ def goniometer_image(
         # additive green-yellow accumulation via a 2D histogram
         hist = np.zeros((size, size), np.int64)
         np.add.at(hist, (py[ok], px[ok]), 1)
-        lvl = np.clip(40.0 * np.log1p(hist), 0, 255).astype(np.uint8)
+        lvl = np.clip(
+            (40.0 * persistence / 0.33) * np.log1p(hist), 0, 255
+        ).astype(np.uint8)
         img[..., 0] = np.maximum(img[..., 0], (lvl * 0.88).astype(np.uint8))
         img[..., 1] = np.maximum(img[..., 1], (lvl * 0.88).astype(np.uint8))
         img[..., 2] = np.maximum(img[..., 2], (lvl * 0.15).astype(np.uint8))
@@ -513,13 +519,21 @@ def stereoscope_image(
     return img
 
 
-def meter_view(name: str, o, fs: float) -> np.ndarray | None:
+def meter_view(
+    name: str, o, fs: float, prefs: dict | None = None
+) -> np.ndarray | None:
     """Render ONE meter's (unbatched) readout dict to its inline view.
 
     The single routing table from meter name -> view, shared by the batch
     CLI (--render-dir) and the live viewer — the analog of the reference's
     per-plugin inline-display dispatch (src/meters.cc queue_draw -> the
-    dpy_* renderer each plugin registers)."""
+    dpy_* renderer each plugin registers).
+
+    `prefs` carries the display-preference ports the reference GUIs
+    persist (goniometer gain/autogain/persistence,
+    src/goniometerlv2.c:210-293; phasewheel/stereoscope display floor,
+    gui/phasewheel.c:1296-1342) — absent keys keep the defaults."""
+    prefs = prefs or {}
     _needle_types = {
         "vu": db.MT_VU, "din": db.MT_DIN, "nor": db.MT_NOR,
         "bbc": db.MT_BBC, "ebu": db.MT_EBU,
@@ -561,11 +575,23 @@ def meter_view(name: str, o, fs: float) -> np.ndarray | None:
     if name == "surround":
         return surround_image(_db(o["level"]), _db(o["peak"]), o["correlation"])
     if name == "goniometer":
-        return goniometer_image(o["x"], o["y"], gain=float(o["gain"]))
+        # autogain follows the computed gain; manual mode uses the gain
+        # preference port (gui/goniometer.c:497-537 vs the g_gain dial)
+        g = (float(o["gain"]) if prefs.get("autogain", 1.0)
+             else float(prefs.get("gain", 1.0)))
+        return goniometer_image(
+            o["x"], o["y"], gain=g,
+            persistence=float(prefs.get("persistence", 0.33)),
+        )
     if name == "phasewheel":
         nb = o["phase"].shape[-1]
         return phasewheel_image(
-            o["phase"][-1], o["level"][-1], fs / (2.0 * nb))
+            o["phase"][-1], o["level"][-1], fs / (2.0 * nb),
+            floor_db=float(prefs.get("floor_db", -60.0)),
+        )
     if name == "stereoscope":
-        return stereoscope_image(o["lr"], o["level"])
+        return stereoscope_image(
+            o["lr"], o["level"],
+            floor_db=float(prefs.get("floor_db", -60.0)),
+        )
     return None

@@ -6,6 +6,7 @@ stcorrdsp.cc:65-69, vumeterdsp.cc:70-73, spectrumlv2.c:231-236).  Each
 meter here must recover to sane readouts after a corrupted block.
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -89,6 +90,7 @@ def test_ppm_and_truepeak_recover():
     assert float(out["level"]) < 0.7  # ballistics decaying back toward the signal
 
 
+@pytest.mark.slow
 def test_r128_and_spectrum_recover():
     from meters_lv2_tpu.models.ebur128 import EbuR128Meter
     from meters_lv2_tpu.models.spectrum import SpectrumAnalyzer

@@ -1,5 +1,6 @@
 """STFT engine, analysis meters, display deflection curves."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -300,6 +301,7 @@ def test_scope_renders():
     assert on[1].size and (np.abs(on[1] - 100) <= 2).all()
 
 
+@pytest.mark.slow
 def test_api_doc_examples_execute():
     """The per-meter snippets in docs/API.md run verbatim."""
     import os

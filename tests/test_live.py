@@ -270,6 +270,176 @@ def test_load_rejects_mismatched_config(tmp_path):
         b.load(path)
 
 
+def test_ref_level_port_scales_needles():
+    """The needle meters' reference-level port (src/meters.cc:303-306
+    rlgain = 10^(0.05*(refl+18)), lv2ttl default -22) is a live host
+    port: set_port scales the next readout without recompiling."""
+    eng = LiveEngine(["vu", "din"], FS, 2)
+    eng.feed(_stereo(0.5))
+    v22 = np.asarray(eng._read_one("vu"))
+    d22 = np.asarray(eng._read_one("din"))
+    eng.set_port("vu", "ref_level_db", -18.0)
+    v18 = np.asarray(eng._read_one("vu"))
+    np.testing.assert_allclose(v18 / v22, 10.0 ** 0.2, rtol=1e-5)
+    # only the written meter's dial moved
+    np.testing.assert_array_equal(np.asarray(eng._read_one("din")), d22)
+    assert eng._read._cache_size() == 1  # traced scalar: no recompile
+
+
+def test_reset_peak_control_clears_hold_only():
+    """K-meter ref-level-port edge = peak-hold reset (src/meters.cc:
+    337-357): the held digital peak clears, the RMS needle state does
+    not."""
+    eng = LiveEngine(["k20"], FS, 2)
+    eng.feed(_stereo(1.0))
+    out = eng._read_one("k20")
+    pk, rms = float(np.max(out["peak"])), float(np.max(out["rms"]))
+    assert pk > 0.05 and rms > 0.01
+    eng.control("reset_peak")
+    out = eng._read_one("k20")
+    assert float(np.max(out["peak"])) == 0.0
+    z = np.asarray(eng._state["k20"].z)
+    assert float(np.max(z)) > 1e-6  # smoother state untouched
+
+
+def test_goniometer_prefs_change_the_frame():
+    """Goniometer gain/persistence prefs (persisted via LV2 State in the
+    reference, src/goniometerlv2.c:210-293) are live render ports."""
+    eng = LiveEngine(["goniometer"], FS, 2)
+    eng.feed(_stereo(1.0))
+    a = eng.frame("goniometer")
+    assert a[:8] == b"\x89PNG\r\n\x1a\n"
+    eng.set_port("goniometer", "autogain", 0.0)
+    eng.set_port("goniometer", "gain", 0.05)
+    b = eng.frame("goniometer")
+    assert b != a  # manual low gain shrinks the trace
+    eng.set_port("goniometer", "persistence", 0.05)
+    c = eng.frame("goniometer")
+    assert c != b
+
+
+def test_display_floor_port():
+    """Display floor (gui/phasewheel.c:1296-1342): raising it from -60
+    to -20 dB hides the ~-54 dB cross-channel bins of a common tone."""
+    sig = _stereo(1.0)
+    t = np.arange(sig.shape[-1]) / FS
+    common = (0.0224 * np.sin(2 * np.pi * 5000.0 * t)).astype(np.float32)
+    eng = LiveEngine(["phasewheel"], FS, 2)
+    eng.feed(sig + common[None])  # same tone on BOTH channels
+    a = eng.frame("phasewheel")
+    eng.set_port("phasewheel", "floor_db", -20.0)
+    assert eng.frame("phasewheel") != a
+
+
+def test_host_ports_survive_save_load(tmp_path):
+    path = str(tmp_path / "s.npz")
+    a = LiveEngine(["vu", "goniometer"], FS, 2)
+    a.feed(_stereo(0.5))
+    a.set_port("vu", "ref_level_db", -20.0)
+    a.set_port("goniometer", "persistence", 0.5)
+    a.save(path)
+    b = LiveEngine(["vu", "goniometer"], FS, 2)
+    b.load(path)
+    assert b._port_values[("vu", "ref_level_db")] == -20.0
+    assert b._port_values[("goniometer", "persistence")] == 0.5
+
+
+def test_http_generic_port_widgets_and_reset_peak():
+    eng = LiveEngine(["vu", "k20"], FS, 2)
+    eng.feed(_stereo(0.5))
+    srv = make_server(eng, port=0, fps=5.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "vu.ref_level_db" in page and "reset_peak" in page
+        r = urllib.request.urlopen(
+            f"{base}/ctl?action=set&meter=vu&param=ref_level_db&value=-18")
+        assert r.read() == b"ok"
+        assert eng._port_values[("vu", "ref_level_db")] == -18.0
+        assert float(np.max(np.asarray(eng._read_one("k20")["peak"]))) > 0
+        urllib.request.urlopen(f"{base}/ctl?action=reset_peak&meter=k20")
+        assert float(np.max(np.asarray(eng._read_one("k20")["peak"]))) == 0
+    finally:
+        srv.shutdown()
+
+
+def _pipe_writer(wfd, payload: bytes, sizes):
+    """Write payload down the pipe in ragged pieces, then close."""
+    import os
+
+    off = 0
+    i = 0
+    while off < len(payload):
+        n = sizes[i % len(sizes)]
+        os.write(wfd, payload[off: off + n])
+        off += n
+        i += 1
+    os.close(wfd)
+
+
+def test_feed_stream_pipe_f32_matches_file_path():
+    """Live raw-f32 ingest from a pipe (the JACK-capture analog): a
+    producer thread writes ragged byte pieces; the stream result matches
+    feeding the same audio as one block, while the dashboard answers
+    mid-stream."""
+    import os
+
+    sig = _stereo(1.0)  # [2, T]
+    payload = np.ascontiguousarray(sig.T, "<f4").tobytes()
+
+    eng = LiveEngine(["r128"], FS, 2)
+    srv = make_server(eng, port=0, fps=5.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    rfd, wfd = os.pipe()
+    t = threading.Thread(
+        target=_pipe_writer, args=(wfd, payload, (997 * 8, 1531 * 8, 61)))
+    t.start()
+    try:
+        from meters_lv2_tpu.live import feed_stream
+
+        with os.fdopen(rfd, "rb") as fh:
+            fed = feed_stream(eng, fh, 2, fmt="f32", chunk=2048)
+        t.join()
+        st = json.loads(urllib.request.urlopen(f"{base}/state.json").read())
+        assert st["_fed_samples"] == sig.shape[-1]
+    finally:
+        srv.shutdown()
+    assert fed == sig.shape[-1] == eng.fed_samples
+
+    ref = LiveEngine(["r128"], FS, 2)
+    ref.feed(sig)
+    got = eng._read_one("r128")
+    want = ref._read_one("r128")
+    np.testing.assert_allclose(
+        float(got["loudness_M"]), float(want["loudness_M"]), atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(eng._state["r128"].n_lo), np.asarray(ref._state["r128"].n_lo))
+
+
+def test_feed_stream_s16_and_eof_remainder():
+    """s16 decode (1/32768 scaling) + a total length that is NOT
+    4-aligned: every frame is fed, only the 4-aligned prefix is
+    measured (padding-never-measured at EOF too)."""
+    import os
+
+    T = FS // 4 + 3  # % 4 == 3
+    sig = (np.clip(_stereo(1.0)[:, :T], -1, 1) * 32767).astype("<i2")
+    payload = np.ascontiguousarray(sig.T).tobytes()
+    eng = LiveEngine(["r128"], FS, 2)
+    rfd, wfd = os.pipe()
+    t = threading.Thread(target=_pipe_writer, args=(wfd, payload, (4001,)))
+    t.start()
+    from meters_lv2_tpu.live import feed_stream
+
+    with os.fdopen(rfd, "rb") as fh:
+        fed = feed_stream(eng, fh, 2, fmt="s16", chunk=1000)
+    t.join()
+    assert fed == T == eng.fed_samples
+    assert int(np.asarray(eng._state["r128"].n_lo)) == T // 4 * 4
+
+
 def test_http_server_endpoints(engine):
     srv = make_server(engine, port=0, fps=5.0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)

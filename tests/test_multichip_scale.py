@@ -10,6 +10,7 @@ import os
 import subprocess
 import sys
 
+import pytest
 import numpy as np
 
 import jax
@@ -21,12 +22,14 @@ FS = 48000
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_16_devices():
     import __graft_entry__ as g
 
     g.dryrun_multichip(16)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_32_devices():
     import __graft_entry__ as g
 
@@ -110,6 +113,7 @@ print('OK16')
     assert "OK16" in proc.stdout
 
 
+@pytest.mark.slow
 def test_ragged_batch_dp_sharded_matches_unsharded():
     """run_stream_ragged over a dp-sharded batch (GSPMD partitioning of
     both phases) == the unsharded run, length-exactness preserved."""

@@ -146,6 +146,7 @@ def test_fused_gate_small_blocks():
     assert not m._use_fused(100)  # < one kernel block
 
 
+@pytest.mark.slow
 def test_fused_update_unaligned_tail(_fused_interpret):
     """T = 128k + r: kernel bulk + XLA tail with chained state equals
     the pure XLA path (e.g. 1 s chunks at 44.1 kHz)."""
@@ -196,6 +197,7 @@ def test_fused_core_5channel():
     np.testing.assert_allclose(tpm, jnp.max(tpm_c, -1), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_update_with_cadence_and_radar_speed(_fused_interpret):
     """The fused core composes with the runtime-control features
     (track_cadence snapshots, runtime radar speed) — they consume the

@@ -109,6 +109,7 @@ def test_fused_update_runtime_pairs(_fused_interpret):
     assert o["correlation"][0, 0] > 0.99
 
 
+@pytest.mark.slow
 def test_fused_update_unaligned_tail(_fused_interpret):
     """44.1 kHz 1 s blocks: kernel bulk + XLA tail with chained state."""
     fs = 44100

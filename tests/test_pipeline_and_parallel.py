@@ -1,6 +1,7 @@
 """Fused pipeline, sequence-parallel LTI, sharded R128, graft entry."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -447,6 +448,7 @@ def test_ragged_batch_matches_per_file_serial():
         )
 
 
+@pytest.mark.slow
 def test_ragged_50_random_lengths_two_programs():
     """A 50-file batch of arbitrary (4-aligned) lengths compiles exactly
     TWO programs — the chunk scan and the one traced tail program (binary
@@ -557,6 +559,7 @@ def test_sharded_r128_fused_kernel_matches_serial():
     )
 
 
+@pytest.mark.slow
 def test_sharded_r128_fused_misaligned_shard():
     """Fused branch on shards whose length is NOT a multiple of 128 —
     e.g. any 44.1 kHz run (fragm=2205, odd): the kernel covers the
@@ -659,6 +662,7 @@ def test_cli_surround_pairs(tmp_path, capsys):
     assert abs(corr[2]) < 0.5  # different tones
 
 
+@pytest.mark.slow
 def test_cli_render_dir(tmp_path, capsys):
     """--render-dir saves inline-view PNGs per file and meter."""
     from meters_lv2_tpu.__main__ import main
@@ -683,6 +687,7 @@ def test_cli_render_dir(tmp_path, capsys):
     assert magic == b"\x89PNG\r\n\x1a\n"
 
 
+@pytest.mark.slow
 def test_cli_render_dir_full_collection(tmp_path, capsys):
     """--meters all --render-dir emits a PNG view for EVERY applicable
     meter — incl. the GUI-analyzer views (goniometer/phasewheel/
