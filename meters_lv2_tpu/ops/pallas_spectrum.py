@@ -79,6 +79,7 @@ _SCAN_STEPS = 7  # log2(128) doubling steps
 from .bf16split import (
     split2 as _split_bf16,
     split2_host as _split_bf16_host,
+    split3 as _split3_bf16,
 )
 
 
@@ -200,6 +201,10 @@ def _make_kernel(nblk: int, nb: int, Wp: int, d: int, smooth: str):
             lane128 = (
                 jax.lax.broadcasted_iota(jnp.int32, (r, W3), 1) % _BLK
             )
+        elif smooth == "gemm6":
+            omh = sm0_ref[...]                       # [128,128] bf16 hi
+            omm = sm1_ref[:_BLK, :]                  # [128,128] bf16 mid
+            oml6 = sm1_ref[_BLK:, :]                 # [128,128] bf16 lo
         else:
             omh, oml = sm0_ref[...], sm1_ref[...]  # [128,128] bf16 splits
 
@@ -251,6 +256,8 @@ def _make_kernel(nblk: int, nb: int, Wp: int, d: int, smooth: str):
                     sh = 1 << kk
                     contrib = pltpu.roll(v, sh, 1) * ck[kk : kk + 1, :]
                     v = v + jnp.where(lane128 >= sh, contrib, 0.0)
+            elif smooth == "gemm6":
+                sq_h3, sq_m3, sq_l3 = _split3_bf16(sq_all)
             else:
                 sq_hl = _split_bf16(sq_all)
             nv = []
@@ -259,6 +266,21 @@ def _make_kernel(nblk: int, nb: int, Wp: int, d: int, smooth: str):
                 sl = slice(_BLK * b, _BLK * (b + 1))
                 if smooth == "scan":
                     vs = v[:, sl] + vcol[:, b : b + 1] * pw
+                elif smooth == "gemm6":
+                    # f32-exact 6-pass smoother dot: the 3-pass HIGH form
+                    # measured 0.009 dB on deep stopband display bins ON
+                    # CHIP (r5 attribution; interpret shows 0.0015 —
+                    # Mosaic-side accumulation of the dropped tiers), the
+                    # same display-bin law pallas_stft hit in r4
+                    ah = sq_h3[:, sl]
+                    am = sq_m3[:, sl]
+                    al = sq_l3[:, sl]
+                    vs = (
+                        (dot(ah, oml6) + dot(al, omh) + dot(am, omm))
+                        + (dot(ah, omm) + dot(am, omh))
+                        + dot(ah, omh)
+                    )
+                    vs = vs + vcol[:, b : b + 1] * pw  # [R, 128]
                 else:
                     vs = dot3((sq_hl[0][:, sl], sq_hl[1][:, sl]), omh, oml)
                     vs = vs + vcol[:, b : b + 1] * pw  # [R, 128]
@@ -355,8 +377,9 @@ def fused_core(
              band systems are exact section-block-triangular cascades
              (design.cascade_modal_state_space; _prepare_weights raises
              otherwise).
-      smooth: 'gemm' (default; 3-pass bf16 Toeplitz dots — measured
-             faster) or 'scan' (exact-f32 VPU prefix scan);
+      smooth: 'gemm' (3-pass bf16 Toeplitz dots), 'gemm6' (f32-exact
+             6-pass dots — the display-bin precision mode, r5) or
+             'scan' (exact-f32 VPU prefix scan, measured 2x slower);
              METERS_TPU_SPECTRUM_SMOOTH overrides.
 
     Returns (val [B, NB], peak [B, NB], zf [B, NB, d]): end-of-block
@@ -374,7 +397,7 @@ def fused_core(
     assert T % _BLK == 0 and z0.shape[-2:] == (NB, d) and NB <= VP
     if smooth is None:
         smooth = os.environ.get("METERS_TPU_SPECTRUM_SMOOTH", "gemm")
-    assert smooth in ("scan", "gemm"), smooth
+    assert smooth in ("scan", "gemm", "gemm6"), smooth
 
     # packed states: band b in lanes [16b, 16b+16)
     zp = jnp.pad(z0, ((0, 0), (0, 0), (0, _DP - d))).reshape(B, W)
@@ -406,6 +429,10 @@ def fused_core(
     if smooth == "scan":
         wrow, ck, pw = smoother_scan_rows(omega, NB, jnp.float32)
         sm0, sm1 = wrow, ck
+    elif smooth == "gemm6":
+        ksm, pw = smoother_op(omega, jnp.float32)
+        h3, m3, l3 = _split3_bf16(ksm)
+        sm0, sm1 = h3, jnp.concatenate([m3, l3], axis=0)  # [128],[256]x128
     else:
         ksm, pw = smoother_op(omega, jnp.float32)
         sm0, sm1 = _split_bf16(ksm)

@@ -27,6 +27,7 @@ def _corrupt_then_clean():
     return bad, clean
 
 
+@pytest.mark.slow
 def test_linear_meters_recover():
     from meters_lv2_tpu.models import cor, kmeter, needle
 

@@ -39,6 +39,7 @@ def test_truepeak_sp8_equals_serial():
     np.testing.assert_array_equal(out["level"], ref["level"])
 
 
+@pytest.mark.slow
 def test_dr14_sp_equals_serial():
     from meters_lv2_tpu.models.dr14 import DR14Meter
 
@@ -59,6 +60,7 @@ def test_dr14_sp_equals_serial():
         np.testing.assert_allclose(out[k], ref[k], atol=2e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_tpnrms_sp_equals_serial():
     from meters_lv2_tpu.models.dr14 import TPnRMSMeter
 
@@ -74,6 +76,7 @@ def test_tpnrms_sp_equals_serial():
 
 
 @pytest.mark.parametrize("quirk", [False, True])
+@pytest.mark.slow
 def test_sigdist_sp_equals_serial(quirk):
     from meters_lv2_tpu.models.sigdist import SigDistMeter
 

@@ -152,6 +152,7 @@ def test_truepeak_meter():
             first = True
 
 
+@pytest.mark.slow
 def test_batched_matches_scalar():
     """vmap over a batch of streams == per-stream results (VU)."""
     import jax

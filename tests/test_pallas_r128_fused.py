@@ -69,6 +69,7 @@ def _fused_interpret():
         os.environ["METERS_TPU_R128_FUSED"] = old
 
 
+@pytest.mark.slow
 def test_fused_update_matches_unfused(_fused_interpret):
     fs = 48000
     rng = np.random.default_rng(1)

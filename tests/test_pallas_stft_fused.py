@@ -103,6 +103,7 @@ def test_fused_gate_rejects_441k(_modes):
     assert use and interp
 
 
+@pytest.mark.slow
 def test_fused_gate_rejects_long_blocks(_modes):
     """Multi-second blocks exceed the kernel's per-frame VMEM budget
     (~200 KB/frame against the 16 MB scoped limit) -> XLA path used;

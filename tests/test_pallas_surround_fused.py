@@ -60,6 +60,7 @@ def test_fused_core_matches_xla_core():
     np.testing.assert_allclose(zp_f, zp_r, rtol=2e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_update_matches_unfused(_fused_interpret):
     """Two chained update() calls + read(), 8-channel with the default
     adjacent wrap-around routing."""
