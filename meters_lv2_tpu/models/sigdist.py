@@ -82,7 +82,7 @@ class SigDistMeter:
         bins = jnp.round(DIST_ZERO + x * DIST_RANGE).astype(jnp.int32)
         ok = (bins >= 0) & (bins < DIST_BIN) & run[..., None]
         hist = state.hist + hist_ops.bincount(
-            jnp.where(ok, bins, -1), DIST_BIN, dtype=jnp.int32
+            jnp.where(ok, bins, -1), DIST_BIN, dtype=jnp.int32, radix=64
         )
         # variance/average integrate ALL samples while running (the
         # histogram drops out-of-range bins but avg/var do not,

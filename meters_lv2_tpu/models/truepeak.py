@@ -48,9 +48,31 @@ class TruePeakMeter:
         )
 
     def update(self, state: TruePeakMeterState, x: jax.Array) -> TruePeakMeterState:
+        mode = self._fused_mode()
+        if mode != "0" and (mode != "auto" or self._fused_available()):
+            # fused oversample+ballistics kernel: the 4x stream is born
+            # and consumed in VMEM (ops/pallas_truepeak; round-5
+            # roofline: the materialized 4x stream was the binder)
+            b, hist = bal.true_peak_update_fused(
+                self.coeffs, state.bal, x, state.hist,
+                interpret=mode == "interpret",
+            )
+            return TruePeakMeterState(hist=hist, bal=b)
         up, hist = resample.upsample4(x, state.hist)
         b = bal.true_peak_update(self.coeffs, state.bal, jnp.abs(up))
         return TruePeakMeterState(hist=hist, bal=b)
+
+    @staticmethod
+    def _fused_mode() -> str:
+        import os
+
+        return os.environ.get("METERS_TPU_TP_FUSED", "auto")
+
+    @staticmethod
+    def _fused_available() -> bool:
+        from ..ops import pallas_truepeak
+
+        return pallas_truepeak.available()
 
     def process_max(self, state: TruePeakMeterState, x: jax.Array):
         """Oversampled |max| only (truepeakdsp.cc:109-131), used by R128 dBTP.

@@ -114,6 +114,13 @@ def _run_ballistics(coeffs, t, z1, z2, m, p):
         rs = lambda v: v.reshape(*batch) if batch else v.reshape(())
         return rs(z1f), rs(z2f), rs(mf), (rs(pf) if track_peak else None)
 
+    return _scan_ballistics(coeffs, t, z1, z2, m, p, track_peak)
+
+
+def _scan_ballistics(coeffs, t, z1, z2, m, p, track_peak):
+    """The grouped lax.scan formulation (used off-TPU and for sub-group
+    tails that would waste a kernel launch)."""
+    *batch, T = t.shape
     w1 = jnp.float32(coeffs.w1)
     w2 = jnp.float32(coeffs.w2)
     w3 = jnp.float32(coeffs.w3)
@@ -199,3 +206,60 @@ def true_peak_read(state: TruePeakState) -> tuple[jax.Array, jax.Array, TruePeak
     return state.m, state.p, dataclasses.replace(
         state, res=jnp.ones_like(state.res)
     )
+
+
+def true_peak_update_fused(
+    coeffs: BallisticsCoeffs,
+    state: TruePeakState,
+    x: jax.Array,
+    hist: jax.Array,
+    interpret: bool = False,
+) -> tuple[TruePeakState, jax.Array]:
+    """true_peak_update with the 4x oversampling fused INTO the
+    ballistics kernel (ops/pallas_truepeak): the oversampled stream
+    never touches HBM.  x is the RAW block [..., T] (T % 4 == 0), hist
+    the [..., 47] resampler history; returns (state', hist').
+
+    Semantics mirror one process() call exactly: entry clamps once, the
+    64-aligned bulk runs in the kernel, any sub-frame tail chains
+    through upsample4 + the scan recurrence on the carried states, and
+    the g-scale / res-merge / denormal epilogue applies once at the end
+    (jmeters/truepeakdsp.cc:58-107)."""
+    import numpy as np
+
+    from . import pallas_truepeak as ptp
+    from . import resample
+
+    *batch, T = x.shape
+    assert T % 4 == 0, T
+    nb = int(np.prod(batch)) if batch else 1
+
+    z1 = jnp.clip(state.z1, 0.0, 20.0).reshape(nb)
+    z2 = jnp.clip(state.z2, 0.0, 20.0).reshape(nb)
+    m = jnp.zeros_like(z1)
+    p = jnp.zeros_like(z1)
+    xf = x.reshape(nb, T)
+    hf = hist.reshape(nb, hist.shape[-1])
+
+    Tm = (T // 64) * 64
+    if Tm:
+        z1, z2, m, p, hf = ptp.truepeak_pallas(
+            xf[:, :Tm], hf, z1, z2, m, p,
+            w1=coeffs.w1, w2=coeffs.w2, w3=coeffs.w3,
+            interpret=interpret,
+        )
+    if Tm < T:  # sub-frame tail: XLA oversample + scan, chained states
+        up, hf = resample.upsample4(xf[:, Tm:], hf)
+        z1, z2, m, p = _scan_ballistics(
+            coeffs, jnp.abs(up), z1, z2, m, p, True
+        )
+
+    rs = lambda v: v.reshape(*batch) if batch else v.reshape(())
+    z1, z2, m, p = rs(z1), rs(z2), rs(m), rs(p)
+    m = m * jnp.float32(coeffs.g)
+    m = jnp.where(state.res, m, jnp.maximum(m, state.m))
+    p = jnp.where(state.res, p, jnp.maximum(p, state.p))
+    st = TruePeakState(
+        z1=z1 + 1e-20, z2=z2 + 1e-20, m=m, p=p, res=jnp.zeros_like(state.res)
+    )
+    return st, hf.reshape(hist.shape)

@@ -239,7 +239,7 @@ def _sigdist_shard(meter: SigDistMeter, x, T: int, sp_axis: str):
     bins = jnp.round(DIST_ZERO + x * DIST_RANGE).astype(jnp.int32)
     ok = (bins >= 0) & (bins < DIST_BIN)  # run gate is static-true here
     hist = hist_ops.bincount(
-        jnp.where(ok, bins, -1), DIST_BIN, dtype=jnp.int32
+        jnp.where(ok, bins, -1), DIST_BIN, dtype=jnp.int32, radix=64
     )
     hist = jax.lax.psum(hist, sp_axis)
     n = jax.lax.psum(ok.sum(-1, dtype=jnp.int32), sp_axis)

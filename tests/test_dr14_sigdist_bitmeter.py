@@ -286,3 +286,49 @@ def test_sigdist_oor_mean_tracks_past_2pow24():
     got = float(np.asarray(st2.mean))
     assert got != 0.5, "mean recurrence froze"
     np.testing.assert_allclose(got, mean, rtol=1e-4)
+
+
+def test_bincount_radix_factored_exact():
+    """The two-level (hi*radix+lo) one-hot histogram is integer-exact
+    against both the single-level path and numpy, including OOR drops,
+    weights, validity masks, ragged nbins/radix and multi-chunk."""
+    import jax.numpy as jnp
+
+    from meters_lv2_tpu.ops import hist as hist_ops
+
+    rng = np.random.default_rng(11)
+    for nbins, radix, shape in [
+        (361, 64, (3, 20000)),  # sigdist shape: nbins % radix != 0
+        (361, 19, (2, 8192)),   # exact factor
+        (8000, 128, (5000,)),   # dr14-sized, 1-D batchless
+        (7, 4, (2, 3, 1000)),   # tiny, deep batch
+    ]:
+        ids = rng.integers(-5, nbins + 5, size=shape).astype(np.int32)
+        valid = rng.random(shape) > 0.1
+        a = hist_ops.bincount(
+            jnp.asarray(ids), nbins, valid=jnp.asarray(valid),
+            dtype=jnp.int32, radix=radix,
+        )
+        b = hist_ops.bincount(
+            jnp.asarray(ids), nbins, valid=jnp.asarray(valid),
+            dtype=jnp.int32,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        flat_ids = ids.reshape(-1, shape[-1])
+        flat_ok = (
+            valid.reshape(-1, shape[-1]) & (flat_ids >= 0)
+            & (flat_ids < nbins)
+        )
+        for r in range(flat_ids.shape[0]):
+            ref = np.bincount(flat_ids[r][flat_ok[r]], minlength=nbins)
+            np.testing.assert_array_equal(
+                np.asarray(a).reshape(-1, nbins)[r], ref
+            )
+    # fractional weights keep the HIGHEST path and still agree
+    ids = rng.integers(0, 361, size=(2, 4000)).astype(np.int32)
+    w = rng.random((2, 4000)).astype(np.float32)
+    aw = hist_ops.bincount(
+        jnp.asarray(ids), 361, weights=jnp.asarray(w), radix=64
+    )
+    bw = hist_ops.bincount(jnp.asarray(ids), 361, weights=jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(aw), np.asarray(bw), rtol=1e-6)

@@ -142,9 +142,9 @@ def families():
         "28% HBM / 10% MXU: the 4x oversampled stream round-trips HBM "
         "between the conv and the ballistics kernel (1.57 GB of the "
         "1.77 GB model). Follow-up: fusing oversample+ballistics would "
-        "cut bytes ~5x; r4 measured the ballistics kernel itself is NOT "
-        "latency-bound (envelope composition a wash), so the serial "
-        "chain would not cap a fused version until ~3x current.",
+        "cut bytes ~5x — DONE later in round 5 (ops/pallas_truepeak, "
+        "1.82x measured; section below); this row documents the "
+        "unfused path the model describes.",
     ))
 
     # ---- DR-14 (kmeter + truepeak per channel + 3 s windows) ------------
@@ -159,9 +159,9 @@ def families():
         [("TP frame GEMMs 3-pass", tp)],
         "18% HBM, traffic-shaped like the dBTP row (the display "
         "TruePeak's oversampled round-trip is 1.6 GB of the 2.2 GB "
-        "model; same fusion follow-up applies); the DR windows/"
-        "8000-bin histogram update at 1/3 Hz and cost nothing at this "
-        "cadence.",
+        "model; same fusion follow-up applies — DONE in round 5, 1.79x "
+        "measured, section below); the DR windows/8000-bin histogram "
+        "update at 1/3 Hz and cost nothing at this cadence.",
     ))
 
     # ---- BitMeter fused (ops/pallas_bitmeter.py) -------------------------
