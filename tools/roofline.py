@@ -190,13 +190,13 @@ def families():
         [("one-hot bincount einsum (HIGHEST)", onehot)],
         "3.5% MXU — but the MXU is not the binder: the one-hot "
         "CONSTRUCTION (compare+select+convert over T x 361 = 1.8e10 "
-        "elements, fused into the dot's operand) is VPU work, ~4.6 ms "
-        "of pure ALU at peak => the 30.8 ms sits at ~15% of VPU ALU "
-        "with the real per-element op count ~3x that (compare, select, "
-        "f32 convert) => ~45% of the effective VPU roof. Follow-up "
-        "honestly open: a Pallas two-level (19x19) decomposition would "
-        "cut one-hot elements 9.5x; r3's SWAR alternative measured "
-        "WORSE at 361 bins (docs/BENCHMARKS.md).",
+        "elements, fused into the dot's operand) is VPU work, plus an "
+        "8-sublane-padded HIGHEST matvec combine. Follow-up DONE later "
+        "in round 5: the factored radix-64 bincount cut both (6+64 "
+        "compares/sample, filled single-pass dot) — measured 3.94x, "
+        "30.8 -> 7.81 ms (section below); this row documents the "
+        "single-level path the model describes. r3's SWAR alternative "
+        "measured WORSE at 361 bins (docs/BENCHMARKS.md).",
     ))
 
     # ---- Phasewheel / stereoscope fused STFT (ops/pallas_stft.py) -------
