@@ -159,6 +159,207 @@ def _make_kernel(nblk: int, C: int, P: int, km_op, lp_op, eps: float):
     return kernel
 
 
+def _make_kernel_wide(nblk: int, CP: int, P: int, km_op, lp_op, eps: float):
+    """Wide-kernel body: channels ride SUBLANES — rows are (stream,
+    channel) pairs, grid is (row_tiles, time_tiles) with NO channel
+    dimension, so the per-channel grid sequencing and the cross-program
+    y scratch of the narrow kernel disappear (round-5 roofline: surround
+    sat at <6% of both roofs; the binder was the sequential channel
+    programs).  The routed pair sums reshape [r, 128] -> [r/CP, CP, 128]
+    (CP a power of two -> a native sublane split) and combine channels
+    with SMEM routing scalars."""
+    at2 = np.asarray(km_op.at, np.float32)  # [2, 2]
+    a128 = float(np.asarray(lp_op.at, np.float64)[0, 0])
+    epsf = float(eps)
+
+    def kernel(x_ref, z0_ref, zl0_ref, sela_ref, selb_ref, wv_ref,
+               g2_ref, k1h_ref, k1l_ref, sy1_ref, g1_ref,
+               zout_ref, zlout_ref, pkout_ref, pacc_ref,
+               s2_scr, zl_scr, pk_scr, pacc_scr):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            s2_scr[...] = z0_ref[...]
+            zl_scr[...] = zl0_ref[...]
+            pk_scr[...] = jnp.zeros_like(pk_scr)
+            pacc_scr[...] = jnp.zeros_like(pacc_scr)
+
+        g2_rows = [g2_ref[i: i + 1, :] for i in range(2)]
+        sy1 = sy1_ref[...]
+        g1 = g1_ref[...]
+        k1h, k1l = k1h_ref[...], k1l_ref[...]
+
+        def split(a):
+            hi = a.astype(jnp.bfloat16)
+            return hi, (a - hi.astype(_F32)).astype(jnp.bfloat16)
+
+        dot = functools.partial(jnp.dot, preferred_element_type=_F32)
+
+        r = x_ref.shape[0]
+        sc = [s2_scr[:, i: i + 1] for i in range(2)]
+        zl = zl_scr[...]
+        pk = pk_scr[...]
+        acc = pacc_scr[...]  # [r // CP, 3P]
+        for j in range(nblk):
+            sl = slice(_BLK * j, _BLK * (j + 1))
+            xb = x_ref[:, sl]  # [r, 128], rows = (stream, channel)
+            sq = xb * xb
+            pk = jnp.maximum(
+                pk,
+                jnp.max(jnp.where(sq != sq, 0.0, sq), axis=1, keepdims=True),
+            )
+            gin = [
+                jnp.sum(sq * g2_rows[i], axis=1, keepdims=True)
+                for i in range(2)
+            ]
+            sc = [
+                at2[0, i] * sc[0] + at2[1, i] * sc[1] + gin[i]
+                for i in range(2)
+            ]
+            xe = xb + epsf
+            xh, xl = split(xe)
+            y = (dot(xh, k1h) + (dot(xh, k1l) + dot(xl, k1h))) + zl * sy1
+            zl = a128 * zl + jnp.sum(xe * g1, axis=1, keepdims=True)
+            # routed pair products, channels gathered over sublanes
+            yr = y.reshape(r // CP, CP, _BLK)
+            wvb = wv_ref[:, sl]  # [1, 128]
+            cols = []
+            for p in range(P):
+                ya = yr[:, 0, :] * sela_ref[p, 0]
+                yb = yr[:, 0, :] * selb_ref[p, 0]
+                for cc in range(1, CP):
+                    ya = ya + yr[:, cc, :] * sela_ref[p, cc]
+                    yb = yb + yr[:, cc, :] * selb_ref[p, cc]
+                for prod in (ya * yb, ya * ya, yb * yb):
+                    cols.append(
+                        jnp.sum(prod * wvb, axis=1, keepdims=True)
+                    )
+            acc = acc + jnp.concatenate(cols, axis=1)
+
+        s2_scr[...] = jnp.concatenate(sc, axis=1)
+        zl_scr[...] = zl
+        pk_scr[...] = pk
+        pacc_scr[...] = acc
+        zout_ref[...] = s2_scr[...]
+        zlout_ref[...] = zl_scr[...]
+        pkout_ref[...] = pk_scr[...]
+        pacc_ref[...] = pacc_scr[...]
+
+    return kernel
+
+
+def _fused_core_wide(
+    x, km_z, zl, sel_a, sel_b, km_op, lp_op, w1, w2,
+    *, interpret=False, r_tile=None, k=None,
+):
+    """Channels-on-sublanes variant of fused_core (same contract)."""
+    B, C, T = x.shape
+    P = sel_a.shape[0]
+    CP = 1 << (C - 1).bit_length()  # channel rows padded to a power of 2
+    x4 = jnp.pad(x, ((0, 0), (0, CP - C), (0, 0))).reshape(B * CP, T)
+    z4 = jnp.pad(km_z, ((0, 0), (0, CP - C), (0, 0))).reshape(B * CP, 2)
+    zl4 = jnp.pad(zl, ((0, 0), (0, CP - C), (0, 0))).reshape(B * CP, 1)
+    sela = jnp.pad(sel_a.astype(_F32), ((0, 0), (0, CP - C)))
+    selb = jnp.pad(sel_b.astype(_F32), ((0, 0), (0, CP - C)))
+
+    R = B * CP
+    rpad = (-R) % (8 * CP)
+    if rpad:
+        x4 = jnp.pad(x4, ((0, rpad), (0, 0)))
+        z4 = jnp.pad(z4, ((0, rpad), (0, 0)))
+        zl4 = jnp.pad(zl4, ((0, rpad), (0, 0)))
+    Rp = R + rpad
+
+    import os as _os
+
+    from .pallas_r128 import _pick_tile, _warn_rejected_override
+
+    if r_tile is None:
+        env_r = _os.environ.get("METERS_TPU_SURROUND_RTILE")
+        if env_r:
+            v = int(env_r)
+            if Rp % v == 0 and v % CP == 0:
+                r_tile = v
+            else:
+                _warn_rejected_override(
+                    "METERS_TPU_SURROUND_RTILE", env_r,
+                    f"padded rows {Rp} not divisible (or not % {CP})")
+        if r_tile is None:
+            r_tile = _pick_tile(
+                Rp, [o * CP for o in (64, 32, 16, 8, 4, 2, 1)]
+            )
+    nb = T // _BLK
+    if k is None:
+        env_k = _os.environ.get("METERS_TPU_SURROUND_K")
+        if env_k and nb % int(env_k) == 0:
+            k = int(env_k)
+        if k is None:
+            k = _pick_tile(nb, range(15, 0, -1))
+    assert Rp % r_tile == 0 and r_tile % CP == 0 and nb % k == 0
+    t_tile = k * _BLK
+    nt = T // t_tile
+    grid = (Rp // r_tile, nt)
+
+    k1h, k1l = _split_bf16_host(lp_op.kmat)
+    sy1 = np.asarray(lp_op.sy, np.float32)
+    g1 = np.ascontiguousarray(np.asarray(lp_op.g, np.float32).T)
+    g2 = np.ascontiguousarray(np.asarray(km_op.g, np.float32).T)
+    wv = jnp.asarray(ema_weights(w2, T)[None, :])
+    weights = tuple(jnp.asarray(w) for w in (g2, k1h, k1l, sy1, g1))
+
+    vm = pltpu.VMEM
+    cmap = lambda r, t: (0, 0)
+    rmap = lambda r, t: (r, 0)
+
+    in_specs = [
+        pl.BlockSpec((r_tile, t_tile), lambda r, t: (r, t),
+                     memory_space=vm),
+        pl.BlockSpec((r_tile, 2), rmap, memory_space=vm),
+        pl.BlockSpec((r_tile, 1), rmap, memory_space=vm),
+        pl.BlockSpec((P, CP), cmap, memory_space=pltpu.SMEM),
+        pl.BlockSpec((P, CP), cmap, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, t_tile), lambda r, t: (0, t), memory_space=vm),
+    ] + [pl.BlockSpec(w.shape, cmap, memory_space=vm) for w in weights]
+
+    eps = 1e-20 / w1
+    zout, zlout, pkout, pacc = pl.pallas_call(
+        _make_kernel_wide(k, CP, P, km_op, lp_op, eps),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((r_tile, 2), rmap, memory_space=vm),
+            pl.BlockSpec((r_tile, 1), rmap, memory_space=vm),
+            pl.BlockSpec((r_tile, 1), rmap, memory_space=vm),
+            pl.BlockSpec((r_tile // CP, 3 * P), rmap, memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, 2), _F32),
+            jax.ShapeDtypeStruct((Rp, 1), _F32),
+            jax.ShapeDtypeStruct((Rp, 1), _F32),
+            jax.ShapeDtypeStruct((Rp // CP, 3 * P), _F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r_tile, 2), _F32),
+            pltpu.VMEM((r_tile, 1), _F32),
+            pltpu.VMEM((r_tile, 1), _F32),
+            pltpu.VMEM((r_tile // CP, 3 * P), _F32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * T * 3 * _BLK,
+            bytes_accessed=Rp * T * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x4, z4, zl4, sela, selb, wv, *weights)
+
+    zout = zout[:R].reshape(B, CP, 2)[:, :C]
+    zlout = zlout[:R].reshape(B, CP, 1)[:, :C]
+    pkout = pkout[:R].reshape(B, CP)[:, :C]
+    pacc = pacc[: R // CP].reshape(B, P, 3)
+    return zout, zlout, pkout, pacc
+
+
 def ema_weights(w2: float, T: int) -> np.ndarray:
     """Closed-form weights of the w2 one-pole's end-of-block value:
     z_T = (1-w2)^T z_0 + sum_t w2 (1-w2)^{T-1-t} p_t (stcorrdsp.cc:62-64;
@@ -210,6 +411,14 @@ def fused_core(
     assert km_op.block * 4 == _BLK and km_op.d == 2 and km_op.m == 4
     assert lp_op.block == _BLK and lp_op.d == 1
     assert sel_a.shape == sel_b.shape == (P, C)
+
+    import os as _os0
+
+    if _os0.environ.get("METERS_TPU_SURROUND_WIDE", "0") == "1":
+        return _fused_core_wide(
+            x, km_z, zl, sel_a, sel_b, km_op, lp_op, w1, w2,
+            interpret=interpret, r_tile=r_tile, k=k,
+        )
 
     x2 = x.reshape(B, C * T)
     z2 = jnp.swapaxes(km_z, 0, 1)  # [C, B, 2]

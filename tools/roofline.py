@@ -125,9 +125,11 @@ def families():
         "<6% of both roofs: the K-meter smoothers/pair products are "
         "VPU lane-reduces (~0.3 ms of ALU at peak) — the binder is the "
         "sequential channel-program grid + per-block VPU epilogues. "
-        "Honest headroom (~2-3x) if the 5 channel programs were fused "
-        "into one wider-lane program; left as follow-up, family is "
-        "4.4x over the 10k bar.",
+        "Honest headroom hypothesis (~2-3x via one wider-lane program) "
+        "was built and REFUTED later in round 5: wide measured 1.74x "
+        "WORSE at 5.0 and a wash at 8.0 — grid sequencing is not a "
+        "material cost; the residual is the per-block VPU epilogue "
+        "itself (section below). Family is 4.4x over the 10k bar.",
     ))
 
     # ---- TruePeak dBTP (XLA conv + Pallas ballistics) --------------------
