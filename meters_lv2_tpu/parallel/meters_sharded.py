@@ -21,6 +21,15 @@ this module covers the rest of the long-file families:
     end-of-shard maps crosses devices, sigdistlv2.c:313-318).
   * ``analyze_bitmeter`` — pure integer counter / min / max merge;
     bit-exact vs a serial single update by construction.
+  * ``analyze_needle`` — VU (blocked-LTI state handoff, parallel.timepar)
+    and the PPM family incl. BBC M-6 (exact sequential ballistics chain);
+    one entry point for every needle meter (src/meters.cc:298-331).
+  * ``analyze_kmeter`` / ``analyze_stcorr`` / ``analyze_surround`` — the
+    K-meter smoother and the correlator lowpasses hand LTI state across
+    shards; the correlators' w2 product averages are read only at END of
+    file (stcorrdsp.cc:62-76), so each shard contributes one closed-form
+    weighted sum scaled by its global decay (1-w2)^(L*(nsp-1-k)) into a
+    psum — no second pass over the audio.
 
 All collectives move O(state) floats — the audio never crosses devices.
 Every analyze_* matches ONE serial ``meter.update(init, x_full)`` +
@@ -35,16 +44,21 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.bitmeter import BitMeter, BitMeterState
+from ..models.cor import CorrelationMeter, CorState
 from ..models.dr14 import DR14Meter
+from ..models.kmeter import KMeter
+from ..models.needle import BBCMidSideMeter, BBCMSState, VUMeter, VUState
 from ..models.sigdist import _CAP, SigDistMeter, SigDistState
+from ..models.surround import SurroundMeter, SurroundState
 from ..models.truepeak import TruePeakMeter
 from ..ops import ballistics as bal
 from ..ops import hist as hist_ops
 from ..ops import resample, segment
-from .timepar import lti_entry_state_sp
+from .timepar import lti_apply_sp, lti_entry_state_sp
 
 
 def _halo47(x, sp_axis):
@@ -337,6 +351,205 @@ def analyze_bitmeter(meter: BitMeter, x, mesh: Mesh):
             lambda xs: body(xs), mesh=mesh,
             in_specs=P("dp", "sp"), out_specs=P("dp"),
             check_vma=False,
+        )
+    )(x)
+    return meter.read(st)[0]
+
+
+# ---------------------------------------------------------------------------
+# Needle meters (VU / DIN / NOR / BBC / EBU / BBC M-6)
+# ---------------------------------------------------------------------------
+
+
+def _vu_shard(meter: VUMeter, x, sp_axis: str):
+    """VU over time shards: the 4-sample-cadence resonant lowpass is LTI,
+    so shard entry states compose exactly (parallel.timepar); the needle
+    max is a pmax of exact local maxima (vumeterdsp.cc:45-98)."""
+    *batch, L = x.shape
+    u = jnp.abs(x).reshape(*batch, L // 4, 4)
+    s0 = jnp.zeros((*batch, 2), x.dtype)
+    y, z = lti_apply_sp(meter.sys, u, s0, sp_axis)
+    m = jax.lax.pmax(jnp.max(y[..., 0], axis=-1), sp_axis)
+    # per-process()-call epilogue, once for the whole file
+    # (vumeterdsp.cc:70-77)
+    bad = ~jnp.isfinite(z).all(axis=-1)
+    z = jnp.where(bad[..., None], 0.0, z).at[..., 1].add(1e-10)
+    m = jnp.where(bad, jnp.inf, m)
+    return VUState(z=z, m=m, res=jnp.zeros(tuple(batch), bool))
+
+
+def _ppm_exit_state(coeffs, t_abs, sp_axis: str) -> bal.PPMState:
+    """Whole-file PPM state from local rectified series via the exact
+    sequential ballistics chain; the one-per-process()-call denormal
+    offset applies once (iec2ppmdsp.cc:76-77)."""
+    z1, z2, m, _ = ballistics_chain_sp(coeffs, t_abs, sp_axis)
+    return bal.PPMState(
+        z1=z1 + 1e-10, z2=z2 + 1e-10, m=m,
+        res=jnp.zeros(t_abs.shape[:-1], bool),
+    )
+
+
+def analyze_needle(meter, x, mesh: Mesh, ref_level_db: float = -22.0,
+                   s20: bool = False):
+    """Sharded whole-file needle-meter reading.
+
+    meter: VUMeter, any _PPMMeter subclass (DIN/NOR/BBC/EBU), or
+    BBCMidSideMeter.  x: [B, T] (BBC M-6: [B, 2, T]); B % dp == 0 and
+    (T / sp) % 4 == 0.  Returns the value(s) of a serial single
+    ``update(init, x)`` + ``read(ref_level_db)`` — exact for the PPM
+    family (identical per-sample recurrence from exact entry states),
+    within f32 matmul-order noise for VU.
+    """
+    from jax import shard_map
+
+    if isinstance(meter, BBCMidSideMeter):
+        mv_m = jnp.float32(10.0 ** (0.05 * -6.0))
+        mv_s = jnp.float32(10.0 ** (0.05 * (14.0 if s20 else -6.0)))
+
+        def body(xs):
+            l, r = xs[..., 0, :], xs[..., 1, :]
+            return BBCMSState(
+                mid=_ppm_exit_state(meter.coeffs, mv_m * jnp.abs(l + r), "sp"),
+                side=_ppm_exit_state(meter.coeffs, mv_s * jnp.abs(l - r), "sp"),
+            )
+
+        spec = P("dp", None, "sp")
+    elif isinstance(meter, VUMeter):
+        body = partial(_vu_shard, meter, sp_axis="sp")
+        spec = P("dp", "sp")
+    else:  # _PPMMeter family
+        body = lambda xs: _ppm_exit_state(meter.coeffs, jnp.abs(xs), "sp")
+        spec = P("dp", "sp")
+
+    st = jax.jit(
+        shard_map(
+            body, mesh=mesh, in_specs=spec, out_specs=P("dp"),
+            check_vma=False,
+        )
+    )(x)
+    return meter.read(st, ref_level_db)[0]
+
+
+# ---------------------------------------------------------------------------
+# K-meter (K12/K14/K20)
+# ---------------------------------------------------------------------------
+
+
+def analyze_kmeter(meter: KMeter, x, mesh: Mesh):
+    """Sharded whole-file K-meter: LTI smoother handoff + pmax digital
+    peak, then the per-process()-call hold/fall epilogue once with the
+    global block length (kmeterdsp.cc:101-139).  x: [B, T] (channels are
+    extra leading batch dims in this package); (T / sp) % 4 == 0."""
+    from jax import shard_map
+
+    T = x.shape[-1]
+
+    def body(xs):
+        z, t = _km_sp(meter, xs, "sp")
+        return meter.finalize(meter.init(xs.shape[:-1]), z, t, T)
+
+    st = jax.jit(
+        shard_map(
+            body, mesh=mesh, in_specs=P("dp", "sp"), out_specs=P("dp"),
+            check_vma=False,
+        )
+    )(x)
+    return meter.read(st)[0]
+
+
+# ---------------------------------------------------------------------------
+# Stereo correlation (COR) and surround
+# ---------------------------------------------------------------------------
+
+
+def _w2_shard_scales(w2: float, L: int, nsp: int):
+    """f64 table of per-shard decay scales for the end-of-file w2 product
+    averages: shard k's local weighted sum (cor.ema_final with zp0=0)
+    enters the global value scaled by (1-w2)^(L*(nsp-1-k)) — the exact
+    factorization of the serial weights w2*(1-w2)^(T-1-g) at g = k*L + t.
+    Computed on host in f64 (the f32 serial weights underflow first)."""
+    e = L * np.arange(nsp - 1, -1, -1, dtype=np.float64)
+    return jnp.asarray(((1.0 - np.float64(w2)) ** e).astype(np.float32))
+
+
+def _pair_products_sp(cor: CorrelationMeter, y, sel_a, sel_b, sp_axis: str):
+    """END-of-file value of the w2 running averages of the routed pair
+    products: local closed-form sums, scaled into the global timeline and
+    psum-combined.  y: [..., C, L] filtered channels."""
+    k = jax.lax.axis_index(sp_axis)
+    nsp = jax.lax.axis_size(sp_axis)
+    ya = jnp.einsum("pc,...ct->...pt", sel_a, y)
+    yb = jnp.einsum("pc,...ct->...pt", sel_b, y)
+    prods = jnp.stack([ya * yb, ya * ya, yb * yb], axis=-2)  # [..,P,3,L]
+    acc = cor.ema_final(prods, jnp.zeros(prods.shape[:-1], y.dtype))
+    scale = _w2_shard_scales(cor.w2, y.shape[-1], nsp)[k]
+    return jax.lax.psum(scale * acc, sp_axis)
+
+
+def analyze_stcorr(meter: CorrelationMeter, x, mesh: Mesh):
+    """Sharded whole-file phase correlation.  x: [B, 2, T].  The 2 kHz
+    lowpasses hand LTI state across shards; the w2 product averages
+    combine closed-form (see _w2_shard_scales).  Matches a serial single
+    update + read within f32 dot-order noise (stcorrdsp.cc:49-76)."""
+    from jax import shard_map
+
+    def body(xs):
+        l, r = xs[..., 0, :], xs[..., 1, :]
+        eps = jnp.float32(1e-20 / meter.w1)
+        s0 = jnp.zeros((*l.shape[:-1], 1), xs.dtype)
+        yl, zl = lti_apply_sp(meter.lp, l + eps, s0, "sp")
+        yr, zr = lti_apply_sp(meter.lp, r + eps, s0, "sp")
+        y = jnp.stack([yl, yr], axis=-2)  # [B, 2, L]
+        # one routed pair (L, R): the generic helper returns [B, 1, 3]
+        # = (zlr, zll, zrr), exactly CorState.zp's layout
+        eye = jnp.eye(2, dtype=xs.dtype)
+        zp = _pair_products_sp(
+            meter, y, eye[0:1], eye[1:2], "sp"
+        )[..., 0, :]
+        # per-process()-call epilogue once (stcorrdsp.cc:65-76)
+        zl = jnp.where(jnp.isfinite(zl), zl, 0.0)
+        zr = jnp.where(jnp.isfinite(zr), zr, 0.0)
+        zp = jnp.where(jnp.isfinite(zp), zp, 0.0) + 1e-10
+        return CorState(zl=zl, zr=zr, zp=zp)
+
+    st = jax.jit(
+        shard_map(
+            body, mesh=mesh, in_specs=P("dp", None, "sp"),
+            out_specs=P("dp"), check_vma=False,
+        )
+    )(x)
+    return meter.read(st)[0]
+
+
+def analyze_surround(meter: SurroundMeter, x, mesh: Mesh):
+    """Sharded whole-file surround analysis (surround3..8).  x: [B, C, T]
+    with C == meter.nchan; (T / sp) % 4 == 0.  Per-channel K-meters and
+    correlator lowpasses hand LTI state across shards; routed pair
+    averages combine closed-form; the K hold/fall epilogue runs once with
+    the global length (surmeter.c:115-128)."""
+    from jax import shard_map
+
+    assert x.shape[-2] == meter.nchan, (x.shape, meter.nchan)
+    T = x.shape[-1]
+    cor = meter.cor
+    sel_a, sel_b = meter._sel(None, x.dtype)
+
+    def body(xs):
+        kmz, tmax = _km_sp(meter.km, xs, "sp")
+        km = meter.km.finalize(meter.km.init(xs.shape[:-1]), kmz, tmax, T)
+        eps = jnp.float32(1e-20 / cor.w1)
+        s0 = jnp.zeros((*xs.shape[:-1], 1), xs.dtype)
+        y, zl = lti_apply_sp(cor.lp, xs + eps, s0, "sp")
+        zp = _pair_products_sp(cor, y, sel_a, sel_b, "sp")
+        # epilogue once (stcorrdsp.cc:65-76 via surround.update)
+        zl = jnp.where(jnp.isfinite(zl), zl, 0.0)
+        zp = jnp.where(jnp.isfinite(zp), zp, 0.0) + 1e-10
+        return SurroundState(km=km, zl=zl, zp=zp)
+
+    st = jax.jit(
+        shard_map(
+            body, mesh=mesh, in_specs=P("dp", None, "sp"),
+            out_specs=P("dp"), check_vma=False,
         )
     )(x)
     return meter.read(st)[0]

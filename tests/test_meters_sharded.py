@@ -1,6 +1,7 @@
 """Sequence-parallel whole-file analysis (parallel.meters_sharded) ==
 serial single-update for dBTP, DR-14/TPnRMS, sigdist (both variance
-modes) and bitmeter, on the virtual 8-device CPU mesh."""
+modes), bitmeter, the needle family (VU/PPM/BBC M-6), K-meter, COR and
+surround, on the virtual 8-device CPU mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,8 @@ import pytest
 
 from meters_lv2_tpu.parallel import make_mesh
 from meters_lv2_tpu.parallel.meters_sharded import (
-    analyze_bitmeter, analyze_dr14, analyze_sigdist, analyze_tpnrms,
+    analyze_bitmeter, analyze_dr14, analyze_kmeter, analyze_needle,
+    analyze_sigdist, analyze_stcorr, analyze_surround, analyze_tpnrms,
     analyze_truepeak,
 )
 
@@ -117,3 +119,90 @@ def test_bitmeter_sp_equals_serial_bitexact():
     ref, _ = m.read(m.update(m.init((B,)), x))
     for k in ref:
         np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Needle family / K-meter / COR / surround (round-5 sp extension)
+# ---------------------------------------------------------------------------
+
+
+def test_vu_sp8_equals_serial():
+    from meters_lv2_tpu.models.needle import VUMeter
+
+    B, T = 4, FS
+    x = _signal(B, T, seed=6)
+    m = VUMeter(FS)
+    out = analyze_needle(m, x, make_mesh(dp=1, sp=8))
+    ref, _ = m.read(m.update(m.init((B,)), x))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("kind", ["DIN", "BBC"])
+def test_ppm_sp_equals_serial_exact(kind):
+    from meters_lv2_tpu.models.needle import BBCMeter, DINMeter
+
+    B, T = 4, FS
+    x = _signal(B, T, seed=7)
+    m = (DINMeter if kind == "DIN" else BBCMeter)(FS)
+    out = analyze_needle(m, x, make_mesh(dp=2, sp=4), ref_level_db=-18.0)
+    ref, _ = m.read(m.update(m.init((B,)), x), ref_level_db=-18.0)
+    # identical per-sample recurrence from exact entry states — exact
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("s20", [False, True])
+def test_bbcm6_sp_equals_serial_exact(s20):
+    from meters_lv2_tpu.models.needle import BBCMidSideMeter
+
+    B, T = 2, FS
+    x = _signal(B, T, seed=8, chans=2)
+    m = BBCMidSideMeter(FS)
+    out = analyze_needle(m, x, make_mesh(dp=1, sp=8), s20=s20)
+    ref, _ = m.read(m.update(m.init((B,)), x, s20=s20))
+    np.testing.assert_array_equal(out["mid"], ref["mid"])
+    np.testing.assert_array_equal(out["side"], ref["side"])
+
+
+def test_kmeter_sp_equals_serial():
+    from meters_lv2_tpu.models.kmeter import K20Meter
+
+    B, T = 4, FS * 2
+    x = _signal(B, T, seed=9)
+    m = K20Meter(FS)
+    out = analyze_kmeter(m, x, make_mesh(dp=2, sp=4))
+    ref, _ = m.read(m.update(m.init((B,)), x))
+    # digital peak: NaN-masked max + sqrt, identical ops — exact
+    np.testing.assert_array_equal(out["peak"], ref["peak"])
+    np.testing.assert_allclose(out["rms"], ref["rms"], rtol=2e-5, atol=1e-7)
+
+
+def test_stcorr_sp_equals_serial():
+    from meters_lv2_tpu.models.cor import CorrelationMeter
+
+    B, T = 4, FS
+    rng = np.random.default_rng(10)
+    mono = 0.3 * rng.standard_normal((B, 1, T)).astype(np.float32)
+    x = jnp.asarray(
+        np.concatenate([mono, 0.7 * mono + 0.1 * rng.standard_normal(
+            (B, 1, T)).astype(np.float32)], axis=1)
+    )
+    m = CorrelationMeter(FS)
+    out = analyze_stcorr(m, x, make_mesh(dp=1, sp=8))
+    ref, _ = m.read(m.update(m.init((B,)), x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_surround_sp_equals_serial():
+    from meters_lv2_tpu.models.surround import Surround5Meter
+
+    B, C, T = 4, 5, FS
+    x = _signal(B, T, seed=11, chans=C)
+    m = Surround5Meter(FS)
+    out = analyze_surround(m, x, make_mesh(dp=2, sp=4))
+    ref, _ = m.read(m.update(m.init((B,)), x))
+    np.testing.assert_array_equal(out["peak"], ref["peak"])
+    np.testing.assert_allclose(out["level"], ref["level"], rtol=2e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(
+        out["correlation"], ref["correlation"], rtol=1e-4, atol=1e-5
+    )
