@@ -62,6 +62,25 @@ class Goniometer:
         hpw = math.exp(-2.0 * math.pi * 20.0 / (fs * oversample))
         self.hpw = hpw
         self.lp_sys = lti.one_pole_system(hpw, dtype)
+        # composed oversample+smoother FIR (ops/resample.composed_smooth_
+        # taps): the near-memoryless smoother folds into the polyphase
+        # taps, so the trace is ONE overlapping-block GEMM — the 4x
+        # stream and the blocked one-pole stage disappear.  Cached as
+        # numpy on the instance (never jnp — tracer leaks).
+        import numpy as np
+
+        from ..ops.design import upsample_poly_kernel
+
+        base = (
+            np.asarray(upsample_poly_kernel(oversample, self.hl), np.float64)
+            if oversample > 1
+            else np.ones((1, 1), np.float64)
+        )
+        self._comb = resample.composed_smooth_taps(base, hpw)
+        eps_in = 1e-12 / hpw
+        sm = hpw * (1.0 - hpw) ** np.arange(4, dtype=np.float64)
+        self._eps_full = float(eps_in * sm.sum())
+        self._eps_head = (eps_in * np.cumsum(sm)[:3]).astype(np.float32)
         # dial mappings (gui/goniometer.c:895-912)
         self.attack_pow = max(0.01, 0.1 * math.exp(0.06 * autogain_attack) - 0.09)
         self.decay_pow = max(0.01, 0.1 * math.exp(0.06 * autogain_decay) - 0.09)
@@ -76,17 +95,67 @@ class Goniometer:
             gain=jnp.ones(batch_shape, self.dtype),
         )
 
+    @staticmethod
+    def _composed() -> bool:
+        import os
+
+        return os.environ.get("METERS_GONIO_COMPOSED", "1") != "0"
+
+    def _trace_composed(self, state: GonioState, lr: jax.Array):
+        """Trace via the composed oversample+smoother FIR: one
+        overlapping-block GEMM over [history | lr] instead of
+        (polyphase GEMM -> materialized os*T stream -> blocked one-pole).
+
+        Outputs 0..2 of the block are overwritten with the exact
+        recurrence identity trace_t = sum_{k<=t} sm_k d_{t-k} +
+        (1-hpw)^(t+1) * s0 — the carried smoother state covers all older
+        history with an exact coefficient, so the zero-padded window
+        history corrupts nothing (see composed_smooth_taps).  Truncation
+        residual (1-hpw)^4 <= ~7e-11 of the signal, well under the
+        blocked-LTI path's own f32 dot-order noise.
+        """
+        import numpy as np
+
+        tapc, C, powv = self._comb
+        nhp = tapc.shape[1] - 1
+        hist = state.rhist
+        nh = hist.shape[-1]
+        if self.os > 1:
+            pad = [(0, 0)] * (hist.ndim - 1) + [(nhp - nh, 0)]
+            histw = jnp.pad(hist, pad)
+        else:
+            histw = hist[..., nh - nhp :]
+        y, _ = resample._upsample_blocked(lr, histw, tapc)
+        y = y + jnp.float32(self._eps_full)
+        if self.os > 1:
+            from ..ops.lti import _HIGH
+
+            win = jnp.concatenate([hist, lr[..., :2]], axis=-1)
+            yfix = (
+                jnp.einsum("mc,...c->...m", jnp.asarray(C), win,
+                           precision=_HIGH)
+                + state.lp * jnp.asarray(powv)
+                + jnp.asarray(self._eps_head)
+            )
+            y = y.at[..., :3].set(yfix)
+        lp = y[..., -1:]
+        rhist = jnp.concatenate([hist, lr], axis=-1)[..., -nh:]
+        return y, lp, rhist
+
     def process(self, state: GonioState, lr: jax.Array, autogain: bool = True):
         """lr: [..., 2, T].  Returns ({'x','y','gain'}, new_state) with
         x/y [..., os*T] trace coordinates (before display gain)."""
         *batch, _, T = lr.shape
-        if self.os > 1:
-            d, rhist = resample.upsample(lr, state.rhist, self.taps)
+        if self._composed():
+            y, lp, rhist = self._trace_composed(state, lr)
         else:
-            d, rhist = lr, state.rhist
-        # lp += hpw*(d - lp) + 1e-12  → fold constant into the input
-        eps = jnp.float32(1e-12 / self.hpw)
-        y, lp = self.lp_sys.apply(d + eps, state.lp)
+            if self.os > 1:
+                d, rhist = resample.upsample(lr, state.rhist, self.taps)
+            else:
+                d, rhist = lr, state.rhist
+            # lp += hpw*(d - lp) + 1e-12  → fold constant into the input
+            eps = jnp.float32(1e-12 / self.hpw)
+            y, lp = self.lp_sys.apply(d + eps, state.lp)
         l, r = y[..., 0, :], y[..., 1, :]
         ax = l - r
         ay = l + r

@@ -118,6 +118,73 @@ def upsample4_taps(dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(upsample4_kernel(_HL), dtype)
 
 
+def composed_smooth_taps(
+    taps_np: np.ndarray, hpw: float, n_sm: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fold a one-pole smoother into polyphase upsampling taps (f64 host).
+
+    The goniometer's trace smoother ``lp += hpw*(d - lp)``
+    (gui/goniometer.c:400-409) runs on the OVERSAMPLED stream, so the
+    unfused path materializes the full factor*T stream between the
+    polyphase conv and the recurrence.  But its pole is (1-hpw) ~ 3e-4
+    .. 3e-3 — near-memoryless — so the smoother is, to below f32 ulp, an
+    ``n_sm``-tap FIR ``sm[k] = hpw*(1-hpw)^k`` (residual (1-hpw)^n_sm
+    <= ~1e-10 of the signal).  Convolving it into the upsampling taps
+    collapses oversample+smooth into ONE overlapping-block GEMM: the
+    4x stream is never materialized and the blocked one-pole stage
+    (2nd GEMM pass + d=1 scan) disappears.
+
+    Block-entry exactness: outputs t < n_sm-1 of an update() block need
+    pre-block oversampled samples; the caller instead evaluates them via
+    the exact recurrence identity
+
+        trace_t = sum_{k<=t} sm[k] * d_{t-k}  +  (1-hpw)^(t+1) * s0
+
+    where s0 is the carried smoother state (== trace_{-1}) — it covers
+    ALL older history with an exact coefficient.  C/pow below implement
+    that row form over the window [hist(K-1) | x_0 x_1].
+
+    Returns (taps_c [os, nh'+1], C [n_sm-1, K+1], pow [n_sm-1]):
+    taps_c feeds ``_block_matrix`` with nh' = (os*K + n_sm - 2)//os
+    history samples ((os>1 callers zero-pad the base K-1-sample history
+    on the LEFT; the pad corrupts exactly the outputs C replaces).
+    """
+    os_, K = np.asarray(taps_np).shape
+    nh = K - 1
+    t64 = np.asarray(taps_np, np.float64)
+    sm = float(hpw) * (1.0 - float(hpw)) ** np.arange(n_sm, dtype=np.float64)
+    # oversampled-domain impulse response: H[ph + os*(nh - i)] = taps[ph, i]
+    H = np.zeros(os_ * K, np.float64)
+    for ph in range(os_):
+        for i in range(K):
+            H[ph + os_ * (nh - i)] = t64[ph, i]
+    Hc = np.convolve(H, sm)
+    nmax = len(Hc) - 1
+    nhp = nmax // os_
+    taps_c = np.zeros((os_, nhp + 1), np.float64)
+    for ph in range(os_):
+        for ip in range(nhp + 1):
+            n = ph + os_ * (nhp - ip)
+            if 0 <= n <= nmax:
+                taps_c[ph, ip] = Hc[n]
+    # exact first-output rows over [hist(nh) | x_0 x_1]  (a = col - nh)
+    C = np.zeros((n_sm - 1, K + 1), np.float64)
+    for m in range(n_sm - 1):
+        for k in range(m + 1):
+            mp = m - k  # d_{m-k}: j = mp//os, ph' = mp%os
+            j, php = divmod(mp, os_)
+            for i in range(K):
+                col = (j + i - nh) + nh  # a + nh
+                if 0 <= col <= K:
+                    C[m, col] += sm[k] * t64[php, i]
+    powv = (1.0 - float(hpw)) ** np.arange(1, n_sm, dtype=np.float64)
+    return (
+        taps_c.astype(np.float32),
+        C.astype(np.float32),
+        powv.astype(np.float32),
+    )
+
+
 def upsample4_init(batch_shape=(), dtype=jnp.float32) -> jax.Array:
     """History buffer of 2*hl-1 zeros (equivalent to the zero prefeed)."""
     return jnp.zeros((*batch_shape, _HIST), dtype)
