@@ -233,9 +233,11 @@ def families():
         "10% HBM / 4% MXU: the materialized 4x stream is 89% of the "
         "traffic model but the measured binder is the per-frame VPU "
         "epilogue (HP filter, rotate, asymmetric autogain min/max "
-        "scans). A fused oversample+trace kernel is the follow-up; "
-        "display family at 24k x (2.4x the bar), not revisited this "
-        "round.",
+        "scans). Follow-up DONE later in round 5 WITHOUT a kernel: the "
+        "near-memoryless smoother folds into the polyphase taps "
+        "(composed FIR, ops/resample.composed_smooth_taps) — 5.51 -> "
+        "3.20 ms measured (1.72x, 40.0k x); this row documents the "
+        "unfused path the model describes.",
     ))
 
     return fams
