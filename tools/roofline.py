@@ -149,6 +149,27 @@ def families():
         "unfused path the model describes.",
     ))
 
+    # ---- TruePeak dBTP FUSED (ops/pallas_truepeak.py) --------------------
+    # Shipped path after the round-5 fusion: the 4x stream is born and
+    # consumed in VMEM; the only large intermediate is the time-major
+    # [T, nb, 8, 128] transpose of the RAW stream (4x smaller than the
+    # old [B, 4T] one).  MACs are unchanged — fusion cut bytes, not MACs.
+    B, C = 1024, 1
+    tp = B * C * nblk * 2 * BLK * 256 * 3
+    fams.append(Fam(
+        "TruePeak dBTP FUSED", 4.23, B, C,
+        [("input read", B * C * T * 4),
+         ("time-major transpose write+read (raw rate)", 2 * B * C * T * 4)],
+        [("TP frame GEMMs 3-pass (unchanged)", tp)],
+        "The shipped post-fusion row: bytes cut 3.0x (1769 -> 590 MB), "
+        "now ~17% HBM / ~18% MXU.  Far under both roofs by design: the "
+        "binder is the serial per-frame attack/release recurrence "
+        "between the frame GEMMs — round 5's envelope-composition A/B "
+        "measured replacing it a WASH (4.23 vs 4.52 ms), i.e. the "
+        "chain is not latency-bound, it is simply the work.  242k x rt "
+        "= 24x over the bar; no follow-up.",
+    ))
+
     # ---- DR-14 (kmeter + truepeak per channel + 3 s windows) ------------
     B, C = 512, 2
     tp = B * C * nblk * 2 * BLK * 256 * 3
@@ -164,6 +185,24 @@ def families():
         "model; same fusion follow-up applies — DONE in round 5, 1.79x "
         "measured, section below); the DR windows/8000-bin histogram "
         "update at 1/3 Hz and cost nothing at this cadence.",
+    ))
+
+    # ---- DR-14 FUSED (display TP through ops/pallas_truepeak.py) ---------
+    B, C = 512, 2
+    tp = B * C * nblk * 2 * BLK * 256 * 3
+    fams.append(Fam(
+        "DR-14 / TPnRMS FUSED", 8.31, B, C,
+        [("input read", B * C * T * 4),
+         ("time-major transpose write+read (raw rate)", 2 * B * C * T * 4),
+         ("x^2 window series write+read (segment sums)",
+          2 * B * C * T * 4)],
+        [("TP frame GEMMs 3-pass (unchanged)", tp)],
+        "Shipped post-fusion row: bytes 2163 -> 983 MB (2.2x), ~14% HBM "
+        "/ ~9% MXU.  The remaining non-input traffic splits evenly "
+        "between the TP kernel's transpose and the x^2 series the 3 s "
+        "RMS segment sums read — fusing the latter into the kernel "
+        "epilogue is possible but the family is already 6.2x over the "
+        "bar at 61.6k x; not worth another kernel variant.",
     ))
 
     # ---- BitMeter fused (ops/pallas_bitmeter.py) -------------------------
@@ -199,6 +238,25 @@ def families():
         "30.8 -> 7.81 ms (section below); this row documents the "
         "single-level path the model describes. r3's SWAR alternative "
         "measured WORSE at 361 bins (docs/BENCHMARKS.md).",
+    ))
+
+    # ---- SigDist radix-64 factored bincount (ops/hist.py bincount) ------
+    # Shipped path: bin = hi*64 + lo; two narrow one-hots (6 + 64
+    # compares/sample on the VPU) combined by one [6, chunk] @
+    # [chunk, 64] dot per chunk.  Unit-weight one-hots are bf16-exact,
+    # so the dot runs SINGLE-pass.
+    B, C = 1024, 1
+    combine = B * T * 6 * 64  # [R1,chunk]@[chunk,64] summed over chunks
+    fams.append(Fam(
+        "SigDist radix-64 FUSED", 7.81, B, C,
+        [("input read", B * T * 4)],
+        [("radix combine dot 1-pass (bf16-exact)", combine)],
+        "Shipped factored-bincount row: pass-MACs 106.5 -> 18.9 G (and "
+        "the dot's output tiles are filled instead of an 8-sublane-"
+        "padded matvec).  3% of both roofs: the binder is the one-hot "
+        "CONSTRUCTION — 70 compares/sample = 3.4e9 VPU element-ops "
+        "(~0.9 ms at ALU peak => ~11% ALU) plus the bf16 operand "
+        "conversion relayouts.  131k x rt = 13x over the bar.",
     ))
 
     # ---- Phasewheel / stereoscope fused STFT (ops/pallas_stft.py) -------
@@ -238,6 +296,30 @@ def families():
         "(composed FIR, ops/resample.composed_smooth_taps) — 5.51 -> "
         "3.20 ms measured (1.72x, 40.0k x); this row documents the "
         "unfused path the model describes.",
+    ))
+
+    # ---- Goniometer composed FIR (ops/resample.composed_smooth_taps) ----
+    # Shipped path: the trace smoother's 4-tap FIR equivalent convolves
+    # into the upsampling taps, so oversample+smooth is ONE overlapping-
+    # block GEMM [128+48, 4*128] per block — the 4x stream is never
+    # materialized as an INTERMEDIATE; the os-rate x/y trace remains as
+    # the OUTPUT (it is the product) and is re-read once by the
+    # rotate/autogain pass.
+    B, C = 128, 2
+    comb = B * C * nblk * (BLK + 48) * (4 * BLK) * 3
+    fams.append(Fam(
+        "Goniometer composed FIR", 3.20, B, C,
+        [("input read", B * C * T * 4),
+         ("os-rate trace write+read (the output)", 2 * B * C * 4 * T * 4)],
+        [("composed frame GEMM 3-pass", comb)],
+        "Shipped composed-FIR row: the blocked one-pole smoother stage "
+        "— its 2nd GEMM pass, d=1 scan, AND the extra os-rate round-"
+        "trip the unfused row's 442 MB model charitably omitted (~393 "
+        "MB) — is gone algebraically (no kernel needed).  The 442 MB "
+        "model is now TIGHT: the remaining traffic IS the product (the "
+        "display trace) plus its one re-read by the per-block autogain "
+        "min/max scans — the same VPU epilogue the unfused row named.  "
+        "~17% HBM / ~8% MXU; 40.0k x rt = 4x over the bar.",
     ))
 
     return fams
