@@ -221,9 +221,84 @@ def _render_views(render_dir, names, outs, files, fs):
                 )
 
 
+def print_plugin_list(out=None):
+    """--list: the x42-meter '-l' analog (doc/x42-meter.1:12-76) — every
+    creatable plugin name, 1:1 with the reference's 38 exported
+    descriptors (src/meters.cc:745-792)."""
+    from .models import base as mbase
+    from .models import schema as mschema
+
+    out = out or sys.stdout
+    for i, name in enumerate(mbase.available()):
+        if name.endswith("mono"):
+            ch = "1"
+        elif name.endswith("stereo"):
+            ch = "2"
+        else:
+            try:
+                ch = "/".join(
+                    str(c) for c in mschema.schema_for(name).channels
+                )
+            except KeyError:
+                ch = "?"
+        print(f"{i:2d}  {name}  ({ch} ch)", file=out)
+
+
+def print_portlist(out=None):
+    """--portlist: the x42-meter '-P' analog (doc/x42-meter.1) — control
+    inputs and readout keys per plugin family, from the schema registry
+    (models/schema.py = the lv2ttl port tables)."""
+    from .models import base as mbase
+    from .models import schema as mschema
+
+    out = out or sys.stdout
+    byfam: dict = {}
+    for name in mbase.available():
+        try:
+            s = mschema.schema_for(name)
+        except KeyError:
+            continue
+        byfam.setdefault(s.uri_suffix, (s, []))[1].append(name)
+
+    def fmt(c):
+        lo = "" if c.lo is None else c.lo
+        hi = "" if c.hi is None else c.hi
+        rng = f" [{lo}..{hi}]" if (c.lo is not None or c.hi is not None) else ""
+        dfl = f" default={c.default}" if c.default is not None else ""
+        doc = f"  -- {c.doc}" if c.doc else ""
+        return f"    {c.name} ({c.unit}){rng}{dfl}{doc}"
+
+    for fam, (s, names) in sorted(byfam.items()):
+        print(f"{fam}  [{', '.join(names)}]  channels="
+              f"{','.join(str(c) for c in s.channels)}", file=out)
+        if s.inputs:
+            print("  control inputs:", file=out)
+            for c in s.inputs:
+                print(fmt(c), file=out)
+        if s.outputs:
+            print("  readouts:", file=out)
+            for c in s.outputs:
+                print(fmt(c), file=out)
+
+
 def main(argv=None):
+    from . import __version__
+
     ap = argparse.ArgumentParser(prog="meters_lv2_tpu", description=__doc__)
-    ap.add_argument("files", nargs="+", help="WAV files to analyze")
+    ap.add_argument("files", nargs="*", help="WAV files to analyze")
+    ap.add_argument(
+        "--list", action="store_true",
+        help="print the creatable plugin names and exit (x42-meter -l)",
+    )
+    ap.add_argument(
+        "--portlist", action="store_true",
+        help="print control inputs / readout keys per plugin family and"
+             " exit (x42-meter -P)",
+    )
+    ap.add_argument(
+        "--version", action="version",
+        version=f"meters_lv2_tpu {__version__}",
+    )
     ap.add_argument(
         "--meters", default="r128,truepeak",
         help=f"comma list from: {','.join(METER_CHOICES)}",
@@ -256,6 +331,15 @@ def main(argv=None):
              " JAX_PLATFORMS, so an env var cannot)",
     )
     args = ap.parse_args(argv)
+
+    if args.list:
+        print_plugin_list()
+        return 0
+    if args.portlist:
+        print_portlist()
+        return 0
+    if not args.files:
+        ap.error("files required (or --list / --portlist / --version)")
 
     import jax
 

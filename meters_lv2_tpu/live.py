@@ -472,6 +472,11 @@ def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0,
                         self._send(404, "text/plain", b"unknown meter")
                         return
                     self._send(200, "image/png", engine.frame(n))
+                elif u.path == "/ports":
+                    # runtime control-port values (the --set / ctl?action=
+                    # set names) — the x42-meter '-P' list, live
+                    self._send(200, "application/json",
+                               json.dumps(engine.port_values()).encode())
                 elif u.path == "/state.json":
                     outs = {n: _to_py(o) for n, o in engine.snapshot().items()}
                     outs["_fed_samples"] = engine.fed_samples
@@ -580,6 +585,23 @@ def feed_stream(engine: LiveEngine, fh, nchan: int, fmt: str = "f32",
     return fed
 
 
+def apply_port_sets(engine, specs, error):
+    """Apply '--set METER.PARAM=VALUE' initial control-port values — the
+    x42-meter standalone's '-p <idx>:<val>' analog (doc/x42-meter.1).
+    Unknown ports / malformed specs report through `error` (argparse
+    .error or any raiser)."""
+    for spec in specs:
+        key, sep, val = spec.partition("=")
+        meter, dot, param = key.partition(".")
+        if not sep or not dot or not meter or not param:
+            error(f"--set {spec!r}: expected METER.PARAM=VALUE")
+            continue
+        try:
+            engine.set_port(meter.strip(), param.strip(), float(val))
+        except ValueError as e:
+            error(f"--set {spec!r}: {e}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="meters_lv2_tpu.live", description=__doc__)
@@ -614,6 +636,13 @@ def main(argv=None):
                          " with --resume, restored at startup if present")
     ap.add_argument("--resume", action="store_true",
                     help="restore --state-file at startup if it exists")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="METER.PARAM=VALUE", dest="port_sets",
+                    help="initial runtime control-port value, repeatable"
+                         " — the x42-meter '-p <idx>:<val>' analog"
+                         " (doc/x42-meter.1); names as in /ports, e.g."
+                         " --set spectrum.speed=2.0"
+                         " --set vu.ref_level_db=-18")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -643,6 +672,9 @@ def main(argv=None):
         print(f"resumed session from {args.state_file} "
               f"({engine.fed_samples / fs:.1f} s already metered)",
               flush=True)
+    # initial port values AFTER a resume, so the explicit CLI wins over
+    # the session's saved ports (like an LV2 host re-applying -p values)
+    apply_port_sets(engine, args.port_sets, ap.error)
     srv = make_server(engine, args.port, args.fps,
                       state_file=args.state_file)
     threading.Thread(target=srv.serve_forever, daemon=True).start()

@@ -177,6 +177,8 @@ def test_http_set_port_endpoint():
             f"{base}/ctl?action=set&meter=spectrum&param=speed&value=9.0")
         assert r.read() == b"ok"
         assert float(np.asarray(eng._state["spectrum"].omega)) > om0
+        ports = json.loads(urllib.request.urlopen(f"{base}/ports").read())
+        assert ports["spectrum.speed"] == 9.0
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(
                 f"{base}/ctl?action=set&meter=spectrum&param=zz&value=1")
