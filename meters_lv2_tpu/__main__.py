@@ -253,11 +253,13 @@ def print_portlist(out=None):
 
     out = out or sys.stdout
     byfam: dict = {}
+    orphans = []
     for name in mbase.available():
         try:
             s = mschema.schema_for(name)
         except KeyError:
-            continue
+            orphans.append(name)  # registered without a schema — surface
+            continue              # it, don't silently drop (--list shows ?)
         byfam.setdefault(s.uri_suffix, (s, []))[1].append(name)
 
     def fmt(c):
@@ -279,6 +281,8 @@ def print_portlist(out=None):
             print("  readouts:", file=out)
             for c in s.outputs:
                 print(fmt(c), file=out)
+    for name in orphans:
+        print(f"{name}  [no schema registered]", file=out)
 
 
 def main(argv=None):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import threading
@@ -276,6 +277,10 @@ class LiveEngine:
         floors — every key seeded in _port_values) just store the value:
         it is re-read at the next readout/frame, exactly like an LV2
         control port the host rewrites before run()."""
+        if not math.isfinite(float(value)):
+            # a NaN slips through the setters' jnp.clip range clamps and
+            # would poison traced state / break RFC JSON readouts
+            raise ValueError(f"non-finite value for {meter}.{param}")
         setter = self.PORTS.get((meter, param))
         if setter is not None and meter in self._pipe.meters:
             with self._lock:
@@ -474,9 +479,14 @@ def make_server(engine: LiveEngine, port: int = 0, fps: float = 10.0,
                     self._send(200, "image/png", engine.frame(n))
                 elif u.path == "/ports":
                     # runtime control-port values (the --set / ctl?action=
-                    # set names) — the x42-meter '-P' list, live
+                    # set names) — the x42-meter '-P' list, live.  RFC-safe:
+                    # non-finite -> null (same convention as the batch CLI)
+                    ports = {
+                        k: (v if math.isfinite(v) else None)
+                        for k, v in engine.port_values().items()
+                    }
                     self._send(200, "application/json",
-                               json.dumps(engine.port_values()).encode())
+                               json.dumps(ports).encode())
                 elif u.path == "/state.json":
                     outs = {n: _to_py(o) for n, o in engine.snapshot().items()}
                     outs["_fed_samples"] = engine.fed_samples

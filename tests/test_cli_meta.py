@@ -60,6 +60,11 @@ def test_live_apply_port_sets():
     apply_port_sets(eng, ["nosuch.port=1"], errs.append)
     apply_port_sets(eng, ["malformed"], errs.append)
     apply_port_sets(eng, ["vu.ref_level_db=abc"], errs.append)
-    assert len(errs) == 3
+    # NaN parses as a float but slips through the setters' jnp.clip range
+    # clamps — set_port must reject it before it poisons traced state
+    apply_port_sets(eng, ["spectrum.speed=nan"], errs.append)
+    assert len(errs) == 4
     assert "unknown port" in errs[0]
     assert "METER.PARAM=VALUE" in errs[1]
+    assert "non-finite" in errs[3]
+    assert eng.port_values()["spectrum.speed"] == 2.0  # unchanged

@@ -29,24 +29,29 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(name, cmd, logdir, timeout, env=None):
+def run(name, cmd, logdir, timeout):
+    os.makedirs(logdir, exist_ok=True)
     path = os.path.join(logdir, f"release_{name}.log")
     t0 = time.time()
+    timed_out = False
     with open(path, "w") as log:
         try:
             rc = subprocess.run(
                 cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
-                timeout=timeout, env={**os.environ, **(env or {})},
+                timeout=timeout,
             ).returncode
         except subprocess.TimeoutExpired:
-            rc = -1
+            rc, timed_out = -1, True
     dt = time.time() - t0
     tail = ""
-    with open(path) as f:
-        lines = [ln.rstrip() for ln in f if ln.strip()]
+    with open(path, "rb") as f:  # bounded tail read — logs can be large
+        f.seek(max(0, os.path.getsize(path) - 4096))
+        lines = [ln.strip() for ln in f.read().decode(errors="replace")
+                 .splitlines() if ln.strip()]
         if lines:
             tail = lines[-1][:100]
-    return {"name": name, "rc": rc, "s": dt, "log": path, "tail": tail}
+    return {"name": name, "rc": rc, "s": dt, "log": path, "tail": tail,
+            "timed_out": timed_out}
 
 
 def main(argv=None):
@@ -86,20 +91,25 @@ def main(argv=None):
     ))
 
     if not args.skip_tpu:
+        # timeouts assume a mostly-warm .jax_cache; a fully cold cache can
+        # exceed them (the band-packed spectrum kernel alone compiles
+        # ~16 min through the tunnel, XLA programs 5-10 min each) — warm
+        # with `python bench.py` / a manual sweep first, or raise these
         results.append(run("bench", [py, "bench.py"], args.logdir,
-                           timeout=3600))
+                           timeout=7200))
         results.append(run(
             "parity_sweep", [py, "tools/tpu_parity_check.py"],
-            args.logdir, timeout=3600,
+            args.logdir, timeout=10800,
         ))
 
     print()
-    print(f"{'step':18s} {'rc':>4s} {'secs':>7s}  last line / log")
+    print(f"{'step':18s} {'status':>7s} {'secs':>7s}  last line / log")
     ok = True
     for r in results:
         ok &= r["rc"] == 0
-        mark = "PASS" if r["rc"] == 0 else "FAIL"
-        print(f"{r['name']:18s} {mark:>4s} {r['s']:7.0f}  "
+        mark = ("TIMEOUT" if r["timed_out"]
+                else "PASS" if r["rc"] == 0 else "FAIL")
+        print(f"{r['name']:18s} {mark:>7s} {r['s']:7.0f}  "
               f"{r['tail']}  [{r['log']}]")
     print()
     print("RELEASE GATE:", "PASS" if ok else "FAIL")
