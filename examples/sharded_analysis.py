@@ -99,6 +99,21 @@ def main():
     print(f"stream 0 spectrum: peak band {int(b0.argmax())} "
           f"at {b0.max():.1f} dB (time-sharded over 'sp')")
 
+    # every meter family shards the same way (round 5): dBTP via the
+    # cross-shard ballistics handoff, needles via exact entry states
+    from meters_lv2_tpu.models.needle import DINMeter
+    from meters_lv2_tpu.models.truepeak import TruePeakMeter
+    from meters_lv2_tpu.parallel.meters_sharded import (
+        analyze_needle, analyze_truepeak,
+    )
+
+    mono = jnp.asarray(xs[:, 0, :])  # [B, T]
+    tp = analyze_truepeak(TruePeakMeter(fs), mono, mesh)
+    din = analyze_needle(DINMeter(fs), mono, mesh, ref_level_db=-22.0)
+    print(f"stream 0 dBTP {20 * np.log10(max(float(tp['peak'][0]), 1e-10)):6.2f}"
+          f"  DIN needle {float(np.asarray(din)[0]):.3f}"
+          "  (same mesh, whole-file sharded)")
+
     # checkpoint the sharded outputs without a host gather
     import tempfile
 
