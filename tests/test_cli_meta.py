@@ -44,6 +44,23 @@ def test_no_files_is_an_argparse_error():
     assert e.value.code == 2
 
 
+@pytest.mark.slow
+def test_release_gate_cpu_steps(tmp_path):
+    """The documented one-command gate (tools/release_check.py) runs its
+    CPU steps (entry compile-check + 8-device dryrun) and summarizes."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/release_check.py", "--skip-suite",
+         "--skip-tpu", "--logdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "RELEASE GATE: PASS" in r.stdout
+    assert "entry_compile" in r.stdout and "dryrun_multichip" in r.stdout
+
+
 def test_live_apply_port_sets():
     from meters_lv2_tpu.live import LiveEngine, apply_port_sets
 
